@@ -1,0 +1,121 @@
+"""Root training configuration tree.
+
+Mirrors the reference's config groups (common / distributed / dataset /
+optimization / checkpoint / generation; reference:
+fairseq/fairseq/dataclass/configs.py) re-shaped for a JAX runtime: the
+distributed group describes a device-mesh layout instead of NCCL process
+groups, and precision is a dtype policy instead of fp16 flags.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from .structured import MISSING
+
+
+@dataclass
+class CommonConfig:
+    seed: int = 1
+    log_interval: int = 100
+    log_format: str = "simple"  # simple | json
+    tensorboard_logdir: Optional[str] = None
+    # dtype policy: params are kept in fp32; compute runs in this dtype.
+    compute_dtype: str = "bfloat16"
+    profile: bool = False
+    # assert the step function compiles at most this many times (XLA recompile
+    # guard; reference analog: trainer.py:1382-1397 compilation-count check)
+    max_compilations: int = 4
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout. Product of axis sizes must equal device count.
+
+    -1 on one axis means "fill with remaining devices".
+    Replaces the reference's DistributedTrainingConfig (process-group world
+    sizes, NCCL backends); here parallelism is expressed as named mesh axes
+    consumed by pjit sharding rules.
+    """
+
+    data: int = -1
+    fsdp: int = 1
+    tensor: int = 1
+    sequence: int = 1
+    expert: int = 1
+    pipeline: int = 1
+    # number of microbatches when pipeline > 1
+    microbatches: int = 1
+
+
+@dataclass
+class DatasetConfig:
+    data: str = MISSING  # manifest directory
+    train_subset: str = "train"
+    valid_subset: str = "valid"
+    batch_size: Optional[int] = None
+    max_tokens: Optional[int] = 1000  # video frames budget per batch
+    num_workers: int = 4
+    required_batch_size_multiple: int = 8
+    skip_invalid_size_inputs_valid_test: bool = True
+    validate_interval: int = 1
+    # static-shape bucketing: samples are padded up to the nearest bucket
+    # boundary so XLA compiles a small fixed set of programs.
+    length_buckets: Tuple[int, ...] = (100, 200, 300, 400, 500)
+
+
+@dataclass
+class OptimizationConfig:
+    max_update: int = 30000
+    max_epoch: int = 0
+    lr: float = 1e-4
+    optimizer: str = "adamw"
+    adam_betas: Tuple[float, float] = (0.9, 0.98)
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.01
+    clip_norm: float = 1.0
+    update_freq: int = 1  # gradient accumulation steps
+    lr_scheduler: str = "cosine"
+    warmup_updates: int = 500
+    min_lr: float = 1e-6
+    # probability floor for skipping a step on non-finite grads
+    skip_nonfinite_grads: bool = True
+
+
+@dataclass
+class CheckpointConfig:
+    save_dir: str = "checkpoints"
+    save_interval_updates: int = 0
+    keep_last_epochs: int = -1
+    keep_best_checkpoints: int = 1
+    best_checkpoint_metric: str = "loss"
+    maximize_best_checkpoint_metric: bool = False
+    patience: int = -1
+    reset_optimizer: bool = False
+    restore_file: str = "checkpoint_last"
+    # torch .pt checkpoint to import weights from (reference interop)
+    init_from_pt: Optional[str] = None
+    async_save: bool = True
+
+
+@dataclass
+class GenerationConfig:
+    beam: int = 5
+    max_len: int = 100
+    min_len: int = 1
+    temperature: float = 0.3
+    length_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+
+
+@dataclass
+class TrainRootConfig:
+    common: CommonConfig = field(default_factory=CommonConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    task: Dict[str, Any] = field(default_factory=dict)  # includes 'name'
+    model: Dict[str, Any] = field(default_factory=dict)  # includes 'name'
+    criterion: Dict[str, Any] = field(default_factory=dict)  # includes 'name'

@@ -1,0 +1,235 @@
+"""Shared flax.linen building blocks for every encoder/decoder in the zoo.
+
+These replace the torch modules used across the reference stack
+(torch.nn.MultiheadAttention, fairseq TransformerEncoder layers, HF
+attention blocks) with mesh-aware JAX equivalents: fp32 softmax, optional
+Pallas flash attention on the hot path, and logical sharding annotations so
+pjit can split heads/ffn over the "tensor" axis.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention, flash_attention
+
+Dtype = jnp.dtype
+
+
+def use_flash(tq: int, tk: int, head_dim: int) -> bool:
+    """Heuristic: Pallas flash kernel only pays off on TPU with real lengths."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    return tq >= 256 and tk >= 256 and head_dim % 64 == 0
+
+
+class DenseGeneral(nn.Dense):
+    pass
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with self/cross support, padding masks, optional relative bias.
+
+    kv lengths are dynamic (padding), shapes static — the mask/length path is
+    fully vectorized so one compiled program serves every batch.
+    """
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    causal: bool = False
+    out_features: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, Tq, D]
+        kv: Optional[jnp.ndarray] = None,  # [B, Tk, Dkv] (defaults to x)
+        *,
+        mask: Optional[jnp.ndarray] = None,  # broadcastable to [B,H,Tq,Tk]
+        kv_lens: Optional[jnp.ndarray] = None,  # [B]
+        bias: Optional[jnp.ndarray] = None,  # additive [B|1,H,Tq,Tk]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        kv = x if kv is None else kv
+        d_model = x.shape[-1]
+        head_dim = self.head_dim or d_model // self.num_heads
+        inner = self.num_heads * head_dim
+
+        dense = lambda name: nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name=name)
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(kv)
+        v = dense("v_proj")(kv)
+
+        b, tq = q.shape[:2]
+        tk = k.shape[1]
+        split = lambda t: t.reshape(b, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+
+        if (
+            bias is None
+            and mask is None
+            and use_flash(tq, tk, head_dim)
+        ):
+            out = flash_attention(q, k, v, kv_lens=kv_lens, causal=self.causal)
+        else:
+            if kv_lens is not None and mask is None:
+                mask = (jnp.arange(tk)[None, None, None, :] < kv_lens[:, None, None, None])
+            out = dot_product_attention(q, k, v, bias=bias, mask=mask, causal=self.causal)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+        if self.dropout > 0 and not deterministic:
+            out = nn.Dropout(rate=self.dropout)(out, deterministic=False)
+        return nn.Dense(
+            self.out_features or d_model, use_bias=self.use_bias, dtype=self.dtype, name="out_proj"
+        )(out)
+
+
+class FeedForward(nn.Module):
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    activation: Callable = nn.gelu
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_dim = self.out_dim or x.shape[-1]
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        h = self.activation(h)
+        if self.dropout > 0 and not deterministic:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=False)
+        return nn.Dense(out_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """wav2vec2-style grouped conv positional embedding.
+
+    Reference analog: fairseq wav2vec2 TransformerEncoder pos_conv (used by
+    AV-HuBERT, avhubert/hubert.py:399, and the SR predictor,
+    src/sub_model/modules.py:130): Conv1d(k=conv_pos, groups=conv_pos_groups)
+    + SamePad + GELU, weight-normalized in torch; here the kernel is stored
+    directly (weight-norm folded at import).
+    """
+
+    kernel_size: int = 128
+    groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, D]
+        d = x.shape[-1]
+        pos = nn.Conv(
+            features=d,
+            kernel_size=(self.kernel_size,),
+            feature_group_count=self.groups,
+            padding=[(self.kernel_size // 2, self.kernel_size // 2)],
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.kernel_size % 2 == 0:
+            pos = pos[:, :-1]  # SamePad: drop trailing element for even kernels
+        return nn.gelu(pos)
+
+
+def sinusoidal_positions(n_pos: int, dim: int, base: float = 10000.0) -> np.ndarray:
+    """Standard interleaved sin/cos table [n_pos, dim] (whisper-style: concat)."""
+    half = dim // 2
+    freq = np.exp(-math.log(base) * np.arange(half) / (half - 1 if half > 1 else 1))
+    pos = np.arange(n_pos)[:, None] * freq[None, :]
+    return np.concatenate([np.sin(pos), np.cos(pos)], axis=1).astype(np.float32)
+
+
+class TransformerLayer(nn.Module):
+    """Pre- or post-LN transformer encoder layer (fairseq-compatible)."""
+
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    layer_norm_first: bool = True
+    activation: Callable = nn.gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, kv_lens=None, mask=None, deterministic: bool = True):
+        attn = lambda h: MultiHeadAttention(
+            num_heads=self.num_heads,
+            dropout=self.attention_dropout,
+            dtype=self.dtype,
+            name="self_attn",
+        )(h, kv_lens=kv_lens, mask=mask, deterministic=deterministic)
+        ffn = lambda h: FeedForward(
+            hidden_dim=self.ffn_dim,
+            activation=self.activation,
+            dropout=self.activation_dropout,
+            dtype=self.dtype,
+            name="ffn",
+        )(h, deterministic=deterministic)
+        drop = lambda h: (
+            nn.Dropout(rate=self.dropout)(h, deterministic=False)
+            if self.dropout > 0 and not deterministic
+            else h
+        )
+        ln1 = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
+        ln2 = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
+
+        if self.layer_norm_first:
+            x = x + drop(attn(ln1(x)))
+            x = x + drop(ffn(ln2(x)))
+        else:
+            x = ln1(x + drop(attn(x)))
+            x = ln2(x + drop(ffn(x)))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of TransformerLayers with conv positional embedding.
+
+    Generic over the fairseq wav2vec2-style encoders in the reference
+    (AV-HuBERT's 24-layer trunk, the SR predictor's 2-layer encoder).
+    """
+
+    num_layers: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    layer_norm_first: bool = True
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    layerdrop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, lengths=None, deterministic: bool = True):
+        if lengths is not None:
+            x = x * (jnp.arange(x.shape[1])[None, :, None] < lengths[:, None, None]).astype(x.dtype)
+        x = x + ConvPositionalEmbedding(
+            kernel_size=self.conv_pos, groups=self.conv_pos_groups, dtype=self.dtype, name="pos_conv"
+        )(x)
+        if not self.layer_norm_first:
+            x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        elif True:
+            # fairseq applies the input LayerNorm before the stack when
+            # layer_norm_first is set as well (named 'layer_norm' there too)
+            x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        if self.dropout > 0 and not deterministic:
+            x = nn.Dropout(rate=self.dropout)(x, deterministic=False)
+        for i in range(self.num_layers):
+            x = TransformerLayer(
+                num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim,
+                dropout=self.dropout,
+                layer_norm_first=self.layer_norm_first,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, kv_lens=lengths, deterministic=deterministic)
+        return x

@@ -1,0 +1,196 @@
+"""Attention primitives: XLA reference path + Pallas flash-attention kernel.
+
+The reference runs torch ``MultiheadAttention``/HF attention everywhere
+(e.g. avhubert/hubert.py 24-layer encoder, src/sub_model/Qformer.py,
+HF LLaMA).  On TPU the hot path is a flash-style Pallas kernel: online
+softmax over key blocks so the [Tq, Tk] score matrix never materialises in
+HBM, fp32 accumulation, MXU matmuls.  The XLA einsum path is kept as the
+numerically-transparent fallback (and for cross-attention shapes the kernel
+does not cover).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention. q: [B,H,Tq,D], k/v: [B,H,Tk,D].
+
+    mask: broadcastable to [B,H,Tq,Tk]; True = attend. bias: additive,
+    broadcastable to [B,H,Tq,Tk].  Softmax in fp32 regardless of input dtype.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if causal:
+        tq, tk = scores.shape[-2:]
+        cmask = jnp.tril(jnp.ones((tq, tk), dtype=bool), k=tk - tq)
+        scores = jnp.where(cmask, scores, NEG_INF)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    kv_len_ref,  # SMEM [B] int32 (scalar-prefetch) — valid kv length per row
+    q_ref,  # VMEM [1, block_q, d]
+    k_ref,  # VMEM [1, block_k, d]
+    v_ref,  # VMEM [1, block_k, d]
+    o_ref,  # VMEM [1, block_q, d]
+    m_scr,  # VMEM [block_q, 128] running max
+    l_scr,  # VMEM [block_q, 128] running denom
+    acc_scr,  # VMEM [block_q, d] fp32 accumulator
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+):
+    kb = pl.program_id(3)
+    n_kb = pl.num_programs(3)
+    qb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_len = kv_len_ref[pl.program_id(0)]
+    k_start = kb * block_k
+
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < kv_len
+        if causal:
+            row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        # skip key blocks fully above the diagonal
+        pl.when(k_start <= (qb + 1) * block_q - 1)(_body)
+    else:
+        _body()
+
+    @pl.when(kb == n_kb - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention. q: [B,H,Tq,D], k/v: [B,H,Tk,D], kv_lens: [B] int32.
+
+    Tq/Tk are padded internally to block multiples; padded keys are masked by
+    kv_lens (defaults to full Tk).  Head dim should be a multiple of 128 for
+    peak MXU efficiency but any size compiles.
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), tk, dtype=jnp.int32)
+    kv_lens = kv_lens.astype(jnp.int32)
+
+    tq_p = -(-tq // block_q) * block_q
+    tk_p = -(-tk // block_k) * block_k
+    if tq_p != tq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    if tk_p != tk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+
+    grid = (b, h, tq_p // block_q, tk_p // block_k)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d), lambda bi, hi, qi, ki, lens: (bi, hi, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d), lambda bi, hi, qi, ki, lens: (bi, hi, ki, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d), lambda bi, hi, qi, ki, lens: (bi, hi, ki, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi, ki, lens: (bi, hi, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
+        interpret=interpret,
+    )(kv_lens, q, k, v)
+    return out[:, :, :tq, :]

@@ -1,0 +1,54 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalvc_tpu.ops.attention import dot_product_attention, flash_attention
+
+
+def _rand_qkv(rng, b=2, h=4, tq=256, tk=256, d=64):
+    q = rng.standard_normal((b, h, tq, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, tk, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, tk, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_flash_matches_reference(rng):
+    q, k, v = _rand_qkv(rng)
+    ref = dot_product_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_causal(rng):
+    q, k, v = _rand_qkv(rng, tq=128, tk=128)
+    ref = dot_product_attention(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_kv_lens(rng):
+    q, k, v = _rand_qkv(rng, b=3, tq=128, tk=384)
+    kv_lens = jnp.asarray([100, 384, 17], dtype=jnp.int32)
+    mask = (jnp.arange(384)[None, None, None, :] < kv_lens[:, None, None, None])
+    ref = dot_product_attention(q, k, v, mask=mask)
+    got = flash_attention(q, k, v, kv_lens=kv_lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_unaligned_lengths(rng):
+    q, k, v = _rand_qkv(rng, tq=100, tk=300)
+    ref = dot_product_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_reference_attention_mask_and_bias(rng):
+    q, k, v = _rand_qkv(rng, b=1, h=2, tq=8, tk=8, d=16)
+    bias = jnp.asarray(rng.standard_normal((1, 1, 8, 8)).astype(np.float32))
+    out = dot_product_attention(q, k, v, bias=bias)
+    # manual check
+    scores = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(16)
+    scores = scores + np.asarray(bias)
+    probs = jax.nn.softmax(jnp.asarray(scores), axis=-1)
+    ref = np.einsum("bhqk,bhkd->bhqd", np.asarray(probs), np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)

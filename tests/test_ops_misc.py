@@ -1,0 +1,64 @@
+import numpy as np
+import jax.numpy as jnp
+
+from multimodalvc_tpu.ops.audio import add_noise_snr
+from multimodalvc_tpu.ops.interpolate import length_mask, linear_resize_batched
+
+
+def torch_style_interp(x, tgt_len, align_corners=False):
+    """numpy reference of F.interpolate(mode='linear') on [T, D]."""
+    t_in, d = x.shape
+    out = np.empty((tgt_len, d), dtype=x.dtype)
+    for t in range(tgt_len):
+        if align_corners:
+            pos = t * (t_in - 1) / max(tgt_len - 1, 1)
+        else:
+            pos = (t + 0.5) * t_in / tgt_len - 0.5
+        pos = min(max(pos, 0.0), t_in - 1)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, t_in - 1)
+        frac = pos - lo
+        out[t] = x[lo] * (1 - frac) + x[hi] * frac
+    return out
+
+
+def test_linear_resize_matches_torch_semantics(rng):
+    b, t_in, d, t_out = 3, 40, 8, 64
+    x = rng.standard_normal((b, t_in, d)).astype(np.float32)
+    src = np.array([40, 25, 7], dtype=np.int32)
+    tgt = np.array([64, 50, 3], dtype=np.int32)
+    got = np.asarray(
+        linear_resize_batched(jnp.asarray(x), jnp.asarray(src), jnp.asarray(tgt), t_out)
+    )
+    for i in range(b):
+        ref = torch_style_interp(x[i, : src[i]], int(tgt[i]))
+        np.testing.assert_allclose(got[i, : tgt[i]], ref, rtol=1e-5, atol=1e-5)
+        assert np.all(got[i, tgt[i] :] == 0)
+
+
+def test_linear_resize_align_corners(rng):
+    x = rng.standard_normal((1, 10, 4)).astype(np.float32)
+    got = np.asarray(
+        linear_resize_batched(
+            jnp.asarray(x), jnp.asarray([10]), jnp.asarray([20]), 20, align_corners=True
+        )
+    )
+    ref = torch_style_interp(x[0], 20, align_corners=True)
+    np.testing.assert_allclose(got[0], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_add_noise_snr(rng):
+    speech = rng.standard_normal(16000).astype(np.float32)
+    noise = rng.standard_normal(16000).astype(np.float32)
+    for snr in [-5.0, 0.0, 10.0]:
+        noisy = add_noise_snr(jnp.asarray(speech), jnp.asarray(noise), snr)
+        added = np.asarray(noisy) - speech
+        measured = 10 * np.log10(np.sum(speech**2) / np.sum(added**2))
+        assert abs(measured - snr) < 0.1
+
+
+def test_length_mask():
+    m = np.asarray(length_mask(jnp.asarray([0, 2, 5]), 5))
+    assert m.shape == (3, 5)
+    assert m.sum() == 7
+    assert m[1, :2].all() and not m[1, 2:].any()
