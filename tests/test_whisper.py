@@ -1,0 +1,70 @@
+"""Parity: our Whisper encoder vs a randomly-initialised HF WhisperEncoder."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+from multimodalvc_tpu.nn.whisper import (  # noqa: E402
+    WhisperEncoder,
+    WhisperEncoderConfig,
+    import_hf_whisper_encoder,
+)
+
+
+def test_whisper_encoder_matches_hf(rng):
+    hf_cfg = transformers.WhisperConfig(
+        num_mel_bins=80,
+        d_model=384,
+        encoder_layers=4,
+        encoder_attention_heads=6,
+        encoder_ffn_dim=1536,
+        max_source_positions=100,
+    )
+    hf = transformers.models.whisper.modeling_whisper.WhisperEncoder(hf_cfg)
+    hf.eval()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    # HF stores embed_positions.weight (the sinusoid table) — ours is computed
+    assert "embed_positions.weight" in state
+    np.testing.assert_allclose(
+        state["embed_positions.weight"],
+        np.asarray(
+            __import__("multimodalvc_tpu.nn.layers", fromlist=["sinusoidal_positions"]).sinusoidal_positions(100, 384)
+        ),
+        atol=1e-5,
+    )
+
+    cfg = WhisperEncoderConfig(
+        n_mels=80, d_model=384, num_layers=4, num_heads=6, ffn_dim=1536, max_frames=100
+    )
+    variables = import_hf_whisper_encoder(state, cfg)
+
+    mel = rng.standard_normal((2, 80, 200)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(mel)).last_hidden_state.numpy()
+    out = WhisperEncoder(cfg).apply(variables, jnp.asarray(mel))
+    assert out.shape == ref.shape == (2, 100, 384)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=5e-4)
+
+
+def test_whisper_encoder_length_masking(rng):
+    cfg = WhisperEncoderConfig(
+        n_mels=80, d_model=64, num_layers=2, num_heads=4, ffn_dim=128, max_frames=50
+    )
+    import jax
+
+    mel = jnp.asarray(rng.standard_normal((2, 80, 100)).astype(np.float32))
+    enc = WhisperEncoder(cfg)
+    vs = enc.init(jax.random.PRNGKey(0), mel)
+    lengths = jnp.asarray([100, 40])
+    out_masked = enc.apply(vs, mel, lengths=lengths)
+    # changing PADDED region of sample 1 must not change its valid outputs
+    mel2 = mel.at[1, :, 60:].set(99.0)
+    out_masked2 = enc.apply(vs, mel2, lengths=lengths)
+    # valid frames: conv stride 2 -> first 20 frames valid for sample 1;
+    # conv kernel 3 lets frame 19 peek one step past 40, allow margin
+    np.testing.assert_allclose(
+        np.asarray(out_masked[1, :18]), np.asarray(out_masked2[1, :18]), rtol=1e-4, atol=1e-5
+    )
