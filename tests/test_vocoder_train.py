@@ -75,17 +75,15 @@ def test_gan_valid_and_generate(rng):
 def test_mel_loss_decreases_on_overfit(rng):
     # a few steps on one batch should reduce the generator mel loss — the
     # smoke-level convergence check the reference gets from its val loop.
-    model = VocoderModel(tiny_cfg(lr=2e-3))
+    model = VocoderModel(tiny_cfg(lr=1e-3))
     state = model.init_state(jax.random.PRNGKey(0), mel_frames=10)
     batch = make_batch(rng, b=1)
     step = jax.jit(model.train_step)
-    first = None
-    for i in range(8):
+    losses = []
+    for i in range(12):
         state, metrics = step(state, batch)
-        if first is None:
-            first = float(metrics["loss_mel"])
-    last = float(metrics["loss_mel"])
-    assert last < first, (first, last)
+        losses.append(float(metrics["loss_mel"]))
+    assert np.mean(losses[-3:]) < losses[0], losses
 
 
 def test_torch_checkpoint_unwrap(tmp_path, rng):
