@@ -92,10 +92,15 @@ class MultiHeadAttention(nn.Module):
         )(out)
 
 
+def gelu_exact(x):
+    """erf-based GELU (torch F.gelu default; fairseq 'gelu')."""
+    return nn.gelu(x, approximate=False)
+
+
 class FeedForward(nn.Module):
     hidden_dim: int
     out_dim: Optional[int] = None
-    activation: Callable = nn.gelu
+    activation: Callable = gelu_exact
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
@@ -215,12 +220,11 @@ class TransformerEncoder(nn.Module):
         x = x + ConvPositionalEmbedding(
             kernel_size=self.conv_pos, groups=self.conv_pos_groups, dtype=self.dtype, name="pos_conv"
         )(x)
+        # fairseq wav2vec2 TransformerEncoder: the outer LayerNorm runs before
+        # the stack for post-LN models and after it for pre-LN models
+        ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
         if not self.layer_norm_first:
-            x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
-        elif True:
-            # fairseq applies the input LayerNorm before the stack when
-            # layer_norm_first is set as well (named 'layer_norm' there too)
-            x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+            x = ln(x)
         if self.dropout > 0 and not deterministic:
             x = nn.Dropout(rate=self.dropout)(x, deterministic=False)
         for i in range(self.num_layers):
@@ -232,4 +236,6 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, kv_lens=lengths, deterministic=deterministic)
+        if self.layer_norm_first:
+            x = ln(x)
         return x

@@ -1,0 +1,396 @@
+"""LLaMA decoder with LoRA adapters and a functional KV cache.
+
+TPU re-design of the reference's HF LLaMA-3.2-3B path (reference:
+src/model.py:231-252 — 4-bit NF4 + LoRA r=16 alpha=32 on q/k/v/o_proj;
+forward with inputs_embeds at src/model.py:357-363).  Deviations, by design:
+
+ * Precision: bf16 weights instead of NF4 4-bit — TPUs have no NF4 kernels;
+   the MXU natively computes bf16 x bf16 -> fp32.  (int8 weight-only via AQT
+   is the planned quantized option.)
+ * LoRA lives in the same param tree under ``lora_a``/``lora_b`` leaf names;
+   the trainer freezes everything else by path regex, mirroring the
+   reference's freeze_params bookkeeping (src/model.py:159-160).
+ * The KV cache is an explicit pytree threaded through calls (functional),
+   sized statically for the decode budget, enabling ``lax.while_loop`` beam
+   search instead of HF ``generate``.
+
+Architecture: RMSNorm pre-norm, GQA attention with llama3-scaled RoPE,
+SwiGLU MLP, tied embeddings (3.2-3B ties lm_head to embed_tokens).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+
+
+@dataclass
+class LoraConfig:
+    rank: int = 16
+    alpha: int = 32
+    dropout: float = 0.05
+    # which projections get adapters (reference: target_modules q.v.k.o)
+    targets: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+
+@dataclass
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_layers: int = 28
+    num_heads: int = 24
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    # llama3 rope scaling (Llama-3.2 config.json)
+    rope_scaling_factor: float = 32.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    tie_embeddings: bool = True
+    lora: Optional[LoraConfig] = field(default_factory=LoraConfig)
+
+    @classmethod
+    def llama32_3b(cls):
+        return cls()
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256):  # for tests
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=16,
+        )
+
+
+def llama3_rope_frequencies(cfg: LlamaConfig) -> np.ndarray:
+    """Per-dimension inverse frequencies with llama3 NTK-by-parts scaling."""
+    dim = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    if cfg.rope_scaling_factor and cfg.rope_scaling_factor != 1.0:
+        low_wavelen = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+        high_wavelen = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+        wavelen = 2 * np.pi / inv_freq
+        scaled = inv_freq / cfg.rope_scaling_factor
+        smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        smoothed = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = np.where(wavelen > low_wavelen, scaled, inv_freq)
+        mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        inv_freq = np.where(mid, smoothed, inv_freq)
+    return inv_freq.astype(np.float32)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, T, D], positions: [B, T] -> rotated x (HF half-split layout)."""
+    angles = positions[:, :, None].astype(jnp.float32) * inv_freq[None, None, :]  # [B,T,D/2]
+    cos = jnp.cos(angles)[:, None, :, :]
+    sin = jnp.sin(angles)[:, None, :, :]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        normed = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps)
+        return (normed * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+class LoraDense(nn.Module):
+    """Dense with optional additive low-rank adapter: y = xW + s·(x A) B."""
+
+    features: int
+    use_bias: bool = False
+    lora: Optional[LoraConfig] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype, name="base")(x)
+        if self.lora is not None and self.lora.rank > 0:
+            r = self.lora.rank
+            a = self.param("lora_a", nn.initializers.he_uniform(), (x.shape[-1], r))
+            b = self.param("lora_b", nn.initializers.zeros, (r, self.features))
+            h = x
+            if self.lora.dropout > 0 and not deterministic:
+                h = nn.Dropout(rate=self.lora.dropout)(h, deterministic=False)
+            y = y + (h @ a.astype(self.dtype)) @ b.astype(self.dtype) * (
+                self.lora.alpha / r
+            )
+        return y
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D]
+        positions: jnp.ndarray,  # [B, T]
+        attn_mask: Optional[jnp.ndarray],  # [B, Tkv] 1=valid (incl. cache)
+        cache: Optional[Dict[str, jnp.ndarray]] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        lora = cfg.lora
+        in_lora = lambda name: lora if (lora and name in lora.targets) else None
+        b, t, _ = x.shape
+        h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        q = LoraDense(h * hd, lora=in_lora("q_proj"), dtype=self.dtype, name="q_proj")(
+            x, deterministic
+        )
+        k = LoraDense(hkv * hd, lora=in_lora("k_proj"), dtype=self.dtype, name="k_proj")(
+            x, deterministic
+        )
+        v = LoraDense(hkv * hd, lora=in_lora("v_proj"), dtype=self.dtype, name="v_proj")(
+            x, deterministic
+        )
+        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+
+        inv_freq = jnp.asarray(llama3_rope_frequencies(cfg))
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        new_cache = None
+        if cache is not None:
+            idx = cache["index"]  # scalar int32: write offset
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
+            k, v = ck, cv
+            new_cache = {"k": ck, "v": cv, "index": idx + t}
+        # GQA: repeat kv heads
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+        tkv = k.shape[2]
+        # mask: valid kv AND causal (query position >= kv position)
+        kv_ids = jnp.arange(tkv)[None, None, None, :]
+        if cache is not None:
+            kv_positions = jnp.arange(tkv)[None, :]  # cache slot == position
+            causal = kv_positions[:, None, :] <= positions[:, :, None]  # [B,T,Tkv]
+            mask = causal[:, None, :, :]
+            if attn_mask is not None:
+                mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
+        else:
+            q_ids = positions[:, None, :, None]
+            mask = kv_ids <= q_ids
+            if attn_mask is not None:
+                mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
+
+        out = dot_product_attention(q, k, v, mask=mask, scale=1.0 / math.sqrt(hd))
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+        out = LoraDense(
+            cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+        )(out, deterministic)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
+        h = nn.silu(gate) * up
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(h)
+
+
+class LlamaLayer(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, attn_mask, cache=None, deterministic=True):
+        h = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x)
+        attn_out, new_cache = LlamaAttention(self.cfg, self.dtype, name="self_attn")(
+            h, positions, attn_mask, cache, deterministic
+        )
+        x = x + attn_out
+        h = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
+        x = x + LlamaMLP(self.cfg, self.dtype, name="mlp")(h)
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder trunk. Accepts token ids or pre-built input embeddings."""
+
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size,
+            self.cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="embed_tokens",
+        )
+        self.layers = [
+            LlamaLayer(self.cfg, self.dtype, name=f"layers_{i}")
+            for i in range(self.cfg.num_layers)
+        ]
+        self.norm = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="norm")
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def unembed(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Tied lm_head: hidden @ embed^T -> logits (fp32)."""
+        emb = self.embed_tokens.embedding
+        return jnp.einsum(
+            "btd,vd->btv", hidden, emb.astype(self.dtype), preferred_element_type=jnp.float32
+        )
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,  # [B, Tkv] 1=valid
+        positions: Optional[jnp.ndarray] = None,  # [B, T]
+        cache: Optional[Tuple] = None,  # tuple of per-layer caches
+        deterministic: bool = True,
+        return_hidden: bool = False,
+    ):
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds.astype(self.dtype)
+        b, t = x.shape[:2]
+        if positions is None:
+            # HF forward semantics: absolute arange positions even for
+            # left-padded batches (the reference trains exactly like this,
+            # src/model.py:357-363).  Decode paths pass explicit positions
+            # (HF generate uses mask-cumsum positions there).
+            positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, new_c = layer(x, positions, attn_mask, layer_cache, deterministic)
+            new_caches.append(new_c)
+        x = self.norm(x)
+        logits = self.unembed(x)
+        out = {"logits": logits, "cache": tuple(new_caches) if cache is not None else None}
+        if return_hidden:
+            out["hidden"] = x
+        return out
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> Tuple:
+        cfg = self.cfg
+        shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        return tuple(
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "index": jnp.zeros((), jnp.int32)}
+            for _ in range(cfg.num_layers)
+        )
+
+
+def cross_entropy_lm_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """HF-style causal LM loss: shift, mean over valid label tokens.
+
+    Returns (loss, n_correct, n_valid) for accuracy reporting
+    (reference: src/criterion.py:60-76).
+    """
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.sum(valid)
+    loss = -jnp.sum(jnp.where(valid, token_logp, 0.0)) / jnp.maximum(n_valid, 1)
+    preds = jnp.argmax(shift_logits, axis=-1)
+    n_correct = jnp.sum(jnp.logical_and(preds == shift_labels, valid))
+    return loss, n_correct, n_valid
+
+
+# ---------------------------------------------------------------------------
+# HF weight import
+# ---------------------------------------------------------------------------
+
+
+def import_hf_llama(state: Dict[str, np.ndarray], cfg: LlamaConfig):
+    """Map an HF LlamaModel/LlamaForCausalLM state dict onto LlamaModel params.
+
+    LoRA adapters (if enabled) are freshly initialised: lora_b = 0 keeps the
+    imported model exact at load (reference loads base + zero-init LoRA too).
+    """
+    def get(k):
+        for p in ("", "model.", "base_model.model.model."):
+            if p + k in state:
+                return np.asarray(state[p + k])
+        raise KeyError(k)
+
+    def lin(src):
+        return {"kernel": jnp.asarray(get(f"{src}.weight").T)}
+
+    def lora_wrap(src, name):
+        p = {"base": lin(src)}
+        if cfg.lora and name in cfg.lora.targets:
+            in_dim = p["base"]["kernel"].shape[0]
+            out_dim = p["base"]["kernel"].shape[1]
+            r = cfg.lora.rank
+            rng = np.random.default_rng(0)
+            bound = math.sqrt(6.0 / in_dim)
+            p["lora_a"] = jnp.asarray(
+                rng.uniform(-bound, bound, (in_dim, r)).astype(np.float32)
+            )
+            p["lora_b"] = jnp.zeros((r, out_dim), jnp.float32)
+        return p
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": jnp.asarray(get("embed_tokens.weight"))},
+        "norm": {"scale": jnp.asarray(get("norm.weight"))},
+    }
+    for i in range(cfg.num_layers):
+        src = f"layers.{i}"
+        params[f"layers_{i}"] = {
+            "input_layernorm": {"scale": jnp.asarray(get(f"{src}.input_layernorm.weight"))},
+            "post_attention_layernorm": {
+                "scale": jnp.asarray(get(f"{src}.post_attention_layernorm.weight"))
+            },
+            "self_attn": {
+                "q_proj": lora_wrap(f"{src}.self_attn.q_proj", "q_proj"),
+                "k_proj": lora_wrap(f"{src}.self_attn.k_proj", "k_proj"),
+                "v_proj": lora_wrap(f"{src}.self_attn.v_proj", "v_proj"),
+                "o_proj": lora_wrap(f"{src}.self_attn.o_proj", "o_proj"),
+            },
+            "mlp": {
+                "gate_proj": lin(f"{src}.mlp.gate_proj"),
+                "up_proj": lin(f"{src}.mlp.up_proj"),
+                "down_proj": lin(f"{src}.mlp.down_proj"),
+            },
+        }
+    return {"params": params}
