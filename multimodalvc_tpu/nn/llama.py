@@ -152,10 +152,11 @@ class LlamaAttention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,  # [B, T, D]
-        positions: jnp.ndarray,  # [B, T]
+        positions: jnp.ndarray,  # [B, T] RoPE positions
         attn_mask: Optional[jnp.ndarray],  # [B, Tkv] 1=valid (incl. cache)
         cache: Optional[Dict[str, jnp.ndarray]] = None,
         deterministic: bool = True,
+        cache_positions: Optional[jnp.ndarray] = None,  # [B, T] slot ids
     ):
         cfg = self.cfg
         lora = cfg.lora
@@ -193,19 +194,13 @@ class LlamaAttention(nn.Module):
         v = jnp.repeat(v, rep, axis=1)
 
         tkv = k.shape[2]
-        # mask: valid kv AND causal (query position >= kv position)
+        # causal mask over cache SLOT indices (left-padded rows have RoPE
+        # position < slot id, so positions must not drive causality here)
         kv_ids = jnp.arange(tkv)[None, None, None, :]
-        if cache is not None:
-            kv_positions = jnp.arange(tkv)[None, :]  # cache slot == position
-            causal = kv_positions[:, None, :] <= positions[:, :, None]  # [B,T,Tkv]
-            mask = causal[:, None, :, :]
-            if attn_mask is not None:
-                mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
-        else:
-            q_ids = positions[:, None, :, None]
-            mask = kv_ids <= q_ids
-            if attn_mask is not None:
-                mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
+        q_slots = cache_positions if cache_positions is not None else positions
+        mask = kv_ids <= q_slots[:, None, :, None]
+        if attn_mask is not None:
+            mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
 
         out = dot_product_attention(q, k, v, mask=mask, scale=1.0 / math.sqrt(hd))
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
@@ -233,10 +228,11 @@ class LlamaLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, positions, attn_mask, cache=None, deterministic=True):
+    def __call__(self, x, positions, attn_mask, cache=None, deterministic=True,
+                 cache_positions=None):
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(self.cfg, self.dtype, name="self_attn")(
-            h, positions, attn_mask, cache, deterministic
+            h, positions, attn_mask, cache, deterministic, cache_positions
         )
         x = x + attn_out
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
@@ -283,6 +279,7 @@ class LlamaModel(nn.Module):
         cache: Optional[Tuple] = None,  # tuple of per-layer caches
         deterministic: bool = True,
         return_hidden: bool = False,
+        cache_positions: Optional[jnp.ndarray] = None,
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -297,7 +294,9 @@ class LlamaModel(nn.Module):
         new_caches = []
         for i, layer in enumerate(self.layers):
             layer_cache = cache[i] if cache is not None else None
-            x, new_c = layer(x, positions, attn_mask, layer_cache, deterministic)
+            x, new_c = layer(
+                x, positions, attn_mask, layer_cache, deterministic, cache_positions
+            )
             new_caches.append(new_c)
         x = self.norm(x)
         logits = self.unembed(x)
@@ -334,6 +333,92 @@ def cross_entropy_lm_loss(
     preds = jnp.argmax(shift_logits, axis=-1)
     n_correct = jnp.sum(jnp.logical_and(preds == shift_labels, valid))
     return loss, n_correct, n_valid
+
+
+def generate_beam(
+    model: "LlamaModel",
+    variables: Any,
+    inputs_embeds: jnp.ndarray,  # [B, T_prompt, D] left-padded
+    attn_mask: jnp.ndarray,  # [B, T_prompt] 1=valid
+    *,
+    eos_token_id: int,
+    pad_token_id: int,
+    num_beams: int = 5,
+    max_new_tokens: int = 100,
+    length_penalty: float = 1.0,
+    cache_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HF-generate-equivalent beam search over embedded prompts.
+
+    Replaces the reference's ``self.llama.generate(inputs_embeds=...,
+    num_beams=5, ...)`` (src/model.py:478-485) with a fully jitted prefill +
+    ``lax.while_loop`` decode.  Returns (sequences [B, K, max_new], scores).
+    """
+    from ..ops.beam_search import beam_search
+
+    b, t_prompt, _ = inputs_embeds.shape
+    k = num_beams
+    total = t_prompt + max_new_tokens
+    attn_mask = attn_mask.astype(jnp.int32)
+    valid_lens = jnp.sum(attn_mask, axis=1)
+
+    # --- prefill at batch B (beams share the prompt) ------------------------
+    cache = model.apply(
+        variables, method=LlamaModel.init_cache, batch=b, max_len=total, dtype=cache_dtype
+    )
+    rope_pos = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)  # HF generate
+    slot_pos = jnp.broadcast_to(jnp.arange(t_prompt)[None], (b, t_prompt))
+    full_mask = jnp.concatenate(
+        [attn_mask, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+    )
+    out = model.apply(
+        variables,
+        inputs_embeds=inputs_embeds,
+        attn_mask=full_mask,
+        positions=rope_pos,
+        cache=cache,
+        cache_positions=slot_pos,
+    )
+    first_logits = out["logits"][:, -1]  # [B, V]
+
+    # --- tile cache to beams -------------------------------------------------
+    def tile(x):
+        if x.ndim == 0:
+            return x
+        return jnp.repeat(x, k, axis=0)
+
+    cache_k = jax.tree.map(tile, out["cache"])
+    prompt_mask_k = jnp.repeat(attn_mask, k, axis=0)  # [B*K, T_prompt]
+    gen_slot_ids = jnp.arange(max_new_tokens)[None, :]
+
+    def decode_fn(tokens, positions, cache):
+        idx = cache[0]["index"]  # scalar: next write slot
+        gen_mask = (gen_slot_ids <= idx - t_prompt).astype(jnp.int32)
+        step_mask = jnp.concatenate(
+            [prompt_mask_k, jnp.broadcast_to(gen_mask, (b * k, max_new_tokens))], axis=1
+        )
+        slot = jnp.full((b * k, 1), idx, jnp.int32)
+        o = model.apply(
+            variables,
+            input_ids=tokens,
+            attn_mask=step_mask,
+            positions=positions,
+            cache=cache,
+            cache_positions=slot,
+        )
+        return o["logits"][:, -1], o["cache"]
+
+    return beam_search(
+        decode_fn,
+        cache_k,
+        prompt_lengths=valid_lens,
+        first_logits=first_logits,
+        eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id,
+        max_new_tokens=max_new_tokens,
+        num_beams=k,
+        length_penalty=length_penalty,
+    )
 
 
 # ---------------------------------------------------------------------------

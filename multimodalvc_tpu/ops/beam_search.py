@@ -1,0 +1,224 @@
+"""Batched beam search as a single `lax.while_loop` XLA program.
+
+Replaces HF ``model.generate`` in the reference decode path
+(reference: src/model.py:478-485 — num_beams=5, max_new_tokens=100; HF
+ignores the temperature arg without do_sample, so this is pure beam search
+with length_penalty on finalization like HF BeamHypotheses).
+
+Design: the caller prefits the prompt into a KV cache (left-padded, HF
+generate's cumsum position semantics), then this loop decodes one token per
+iteration for all B*K beams simultaneously.  Everything is static-shape:
+``max_new_tokens`` bounds the loop, finished beams keep emitting pad and are
+score-frozen.  Cache reordering after beam selection is a gather on the
+batch axis, which XLA turns into an efficient dynamic-gather on TPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e7
+
+
+class BeamState(flax.struct.PyTreeNode):
+    step: jnp.ndarray  # scalar int32 — tokens generated so far
+    live_seqs: jnp.ndarray  # [B, K, L] int32
+    live_scores: jnp.ndarray  # [B, K] cumulative logprob
+    finished_seqs: jnp.ndarray  # [B, K, L]
+    finished_scores: jnp.ndarray  # [B, K] length-penalized
+    finished_flags: jnp.ndarray  # [B, K] bool
+    cache: Any  # pytree with leaves [B*K, ...]
+
+
+def _flatten_beam(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflatten_beam(x, b, k):
+    return x.reshape((b, k) + x.shape[1:])
+
+
+def _gather_beams(tree, indices, b, k):
+    """Select beams: indices [B, K] into the K axis of [B, K, ...] leaves."""
+
+    def gather(x):
+        if x.ndim == 0 or x.shape[0] != b * k:
+            return x  # scalar leaves (e.g. cache write index) are beam-invariant
+        xb = _unflatten_beam(x, b, k)
+        out = jnp.take_along_axis(
+            xb, indices.reshape((b, k) + (1,) * (xb.ndim - 2)), axis=1
+        )
+        return _flatten_beam(out)
+
+    return jax.tree.map(gather, tree)
+
+
+def beam_search(
+    decode_fn: Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]],
+    init_cache: Any,  # leaves [B*K, ...] pre-filled with the prompt
+    prompt_lengths: jnp.ndarray,  # [B] valid prompt length per row
+    first_logits: jnp.ndarray,  # [B, V] logits at the last prompt position
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+    num_beams: int = 5,
+    length_penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run beam search; returns (sequences [B, K, max_new_tokens], scores [B, K]).
+
+    ``decode_fn(tokens [B*K, 1], positions [B*K, 1], cache) -> (logits [B*K, V],
+    cache)`` runs one decoder step.  ``first_logits`` come from the caller's
+    prompt prefill so the first expansion is exact.
+    """
+    b = first_logits.shape[0]
+    k = num_beams
+    vocab = first_logits.shape[-1]
+    l = max_new_tokens
+
+    # --- first expansion: top-K tokens from the prompt's last logits -------
+    logp0 = jax.nn.log_softmax(first_logits.astype(jnp.float32), axis=-1)  # [B, V]
+    top_scores, top_tokens = jax.lax.top_k(logp0, k)  # [B, K]
+
+    live_seqs = jnp.full((b, k, l), pad_token_id, jnp.int32)
+    live_seqs = live_seqs.at[:, :, 0].set(top_tokens)
+    live_scores = top_scores
+    # beams that opened with EOS are immediately finished
+    eos0 = top_tokens == eos_token_id
+    finished_seqs = live_seqs
+    finished_scores = jnp.where(eos0, top_scores / (1.0**length_penalty), NEG_INF)
+    finished_flags = eos0
+    live_scores = jnp.where(eos0, NEG_INF, live_scores)
+
+    state = BeamState(
+        step=jnp.ones((), jnp.int32),
+        live_seqs=live_seqs,
+        live_scores=live_scores,
+        finished_seqs=finished_seqs,
+        finished_scores=finished_scores,
+        finished_flags=finished_flags,
+        cache=init_cache,
+    )
+
+    def cond(state: BeamState):
+        if_not_done = state.step < l
+        # early exit: best possible live score can't beat worst finished
+        best_live = jnp.max(state.live_scores, axis=1) / (
+            jnp.float32(l) ** length_penalty if length_penalty > 0 else 1.0
+        )
+        worst_finished = jnp.min(
+            jnp.where(state.finished_flags, state.finished_scores, NEG_INF), axis=1
+        )
+        all_done = jnp.all(state.finished_flags, axis=1)
+        improvement_possible = jnp.any(
+            jnp.logical_or(~all_done, best_live > worst_finished)
+        )
+        return jnp.logical_and(if_not_done, improvement_possible)
+
+    def body(state: BeamState):
+        step = state.step
+        prev_tokens = jax.lax.dynamic_slice_in_dim(state.live_seqs, step - 1, 1, axis=2)
+        flat_tokens = _flatten_beam(prev_tokens)  # [B*K, 1]
+        positions = (prompt_lengths[:, None] + step - 1).repeat(k, axis=0).reshape(-1, 1)
+        # NOTE: positions follow HF generate semantics: prompt_len + step - 1
+        logits, new_cache = decode_fn(flat_tokens, positions, state.cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+        logp = _unflatten_beam(logp, b, k)
+
+        cand = state.live_scores[:, :, None] + logp  # [B, K, V]
+        flat_cand = cand.reshape(b, k * vocab)
+        # 2K candidates so EOS picks never starve the live set (HF-style)
+        top2k_scores, top2k_idx = jax.lax.top_k(flat_cand, 2 * k)
+        cand_beam = top2k_idx // vocab  # [B, 2K]
+        cand_token = top2k_idx % vocab
+
+        seqs2k = jnp.take_along_axis(state.live_seqs, cand_beam[:, :, None], axis=1)
+        seqs2k = jax.lax.dynamic_update_slice_in_dim(
+            seqs2k, cand_token[:, :, None].astype(jnp.int32), step, axis=2
+        )
+        is_eos = cand_token == eos_token_id
+
+        # ---- update finished set -----------------------------------------
+        gen_len = (step + 1).astype(jnp.float32)
+        fin_cand_scores = jnp.where(
+            is_eos, top2k_scores / (gen_len**length_penalty), NEG_INF
+        )
+        all_fin_seqs = jnp.concatenate([state.finished_seqs, seqs2k], axis=1)
+        all_fin_scores = jnp.concatenate([state.finished_scores, fin_cand_scores], axis=1)
+        all_fin_flags = jnp.concatenate(
+            [state.finished_flags, is_eos], axis=1
+        )
+        top_fin_scores, top_fin_idx = jax.lax.top_k(all_fin_scores, k)
+        finished_seqs = jnp.take_along_axis(all_fin_seqs, top_fin_idx[:, :, None], axis=1)
+        finished_flags = jnp.take_along_axis(all_fin_flags, top_fin_idx, axis=1)
+
+        # ---- update live set (top K non-EOS) -------------------------------
+        live_cand_scores = jnp.where(is_eos, NEG_INF, top2k_scores)
+        new_live_scores, live_idx = jax.lax.top_k(live_cand_scores, k)
+        live_seqs = jnp.take_along_axis(seqs2k, live_idx[:, :, None], axis=1)
+        live_beam = jnp.take_along_axis(cand_beam, live_idx, axis=1)  # [B, K]
+
+        new_cache = _gather_beams(new_cache, live_beam, b, k)
+
+        return state.replace(
+            step=step + 1,
+            live_seqs=live_seqs,
+            live_scores=new_live_scores,
+            finished_seqs=finished_seqs,
+            finished_scores=top_fin_scores,
+            finished_flags=finished_flags,
+            cache=new_cache,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # fall back to live beams where nothing finished
+    none_finished = ~jnp.any(state.finished_flags, axis=1)
+    final_live_scores = state.live_scores / (jnp.float32(l) ** length_penalty)
+    seqs = jnp.where(
+        none_finished[:, None, None], state.live_seqs, state.finished_seqs
+    )
+    scores = jnp.where(none_finished[:, None], final_live_scores, state.finished_scores)
+    # sort by score descending
+    order = jnp.argsort(-scores, axis=1)
+    seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return seqs, scores
+
+
+def greedy_search(
+    decode_fn,
+    init_cache,
+    prompt_lengths: jnp.ndarray,
+    first_logits: jnp.ndarray,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+):
+    """Greedy decode (beam=1 fast path). Returns sequences [B, max_new_tokens]."""
+    b = first_logits.shape[0]
+    seqs = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
+    tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    seqs = seqs.at[:, 0].set(tok0)
+    done0 = tok0 == eos_token_id
+
+    def cond(carry):
+        step, seqs, done, cache = carry
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(carry):
+        step, seqs, done, cache = carry
+        prev = jax.lax.dynamic_slice_in_dim(seqs, step - 1, 1, axis=1)
+        positions = (prompt_lengths + step - 1)[:, None]
+        logits, cache = decode_fn(prev, positions, cache)  # [B, V]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_token_id, nxt)
+        seqs = jax.lax.dynamic_update_slice_in_dim(seqs, nxt[:, None], step, axis=1)
+        done = jnp.logical_or(done, nxt == eos_token_id)
+        return (step + 1, seqs, done, cache)
+
+    _, seqs, _, _ = jax.lax.while_loop(cond, body, (jnp.ones((), jnp.int32), seqs, done0, init_cache))
+    return seqs

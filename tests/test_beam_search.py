@@ -1,0 +1,142 @@
+"""Beam search parity vs HF generate on the tiny random LLaMA."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+from multimodalvc_tpu.nn.llama import (  # noqa: E402
+    LlamaConfig,
+    LlamaModel,
+    generate_beam,
+    import_hf_llama,
+)
+
+EOS, PAD = 2, 0
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from tests.test_llama import make_hf_tiny
+
+    hf = make_hf_tiny()
+    hf.generation_config.eos_token_id = EOS
+    hf.generation_config.pad_token_id = PAD
+    cfg = LlamaConfig.tiny()
+    cfg.lora = None
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    return hf, LlamaModel(cfg), import_hf_llama(state, cfg)
+
+
+def _strip(seq):
+    out = []
+    for t in seq:
+        out.append(int(t))
+        if t == EOS:
+            break
+    return out
+
+
+@pytest.mark.parametrize("beams,max_new", [(1, 8), (3, 10), (5, 6)])
+def test_beam_matches_hf(pair, rng, beams, max_new):
+    hf, model, variables = pair
+    emb = (rng.standard_normal((2, 7, 64)) * 0.05).astype(np.float32)
+    mask = np.ones((2, 7), dtype=np.int64)
+    mask[1, :3] = 0  # left padding on row 1
+    with torch.no_grad():
+        ref = hf.generate(
+            inputs_embeds=torch.from_numpy(emb),
+            attention_mask=torch.from_numpy(mask),
+            num_beams=beams,
+            max_new_tokens=max_new,
+            min_length=1,
+            do_sample=False,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+        ).numpy()
+    seqs, scores = generate_beam(
+        model,
+        variables,
+        jnp.asarray(emb),
+        jnp.asarray(mask),
+        eos_token_id=EOS,
+        pad_token_id=PAD,
+        num_beams=max(beams, 2),  # our impl needs >=2 beams; HF beam=1 = greedy
+        max_new_tokens=max_new,
+        cache_dtype=jnp.float32,
+    )
+    if beams == 1:
+        from multimodalvc_tpu.nn.llama import LlamaModel as _M  # noqa: F401
+        # compare greedy: HF beam=1 equals greedy; our top beam with k=2 may
+        # differ, so run greedy path separately below
+        return
+    best = np.asarray(seqs[:, 0])
+    for b in range(2):
+        assert _strip(best[b]) == _strip(ref[b]), (b, best[b], ref[b])
+
+
+def test_greedy_matches_hf(pair, rng):
+    hf, model, variables = pair
+    emb = (rng.standard_normal((2, 5, 64)) * 0.05).astype(np.float32)
+    mask = np.ones((2, 5), dtype=np.int64)
+    mask[0, :2] = 0
+    with torch.no_grad():
+        ref = hf.generate(
+            inputs_embeds=torch.from_numpy(emb),
+            attention_mask=torch.from_numpy(mask),
+            num_beams=1,
+            do_sample=False,
+            max_new_tokens=9,
+            eos_token_id=EOS,
+            pad_token_id=PAD,
+        ).numpy()
+
+    # greedy via the shared prefill + ops.greedy_search
+    from multimodalvc_tpu.ops.beam_search import greedy_search
+
+    b, t_prompt, _ = emb.shape
+    total = t_prompt + 9
+    cache = model.apply(
+        variables, method=LlamaModel.init_cache, batch=b, max_len=total, dtype=jnp.float32
+    )
+    am = jnp.asarray(mask).astype(jnp.int32)
+    rope_pos = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
+    out = model.apply(
+        variables,
+        inputs_embeds=jnp.asarray(emb),
+        attn_mask=jnp.concatenate([am, jnp.zeros((b, 9), jnp.int32)], axis=1),
+        positions=rope_pos,
+        cache=cache,
+        cache_positions=jnp.broadcast_to(jnp.arange(t_prompt)[None], (b, t_prompt)),
+    )
+    gen_ids = jnp.arange(9)[None, :]
+
+    def decode_fn(tokens, positions, cache_):
+        idx = cache_[0]["index"]
+        gen_mask = (gen_ids <= idx - t_prompt).astype(jnp.int32)
+        step_mask = jnp.concatenate([am, jnp.broadcast_to(gen_mask, (b, 9))], axis=1)
+        o = model.apply(
+            variables,
+            input_ids=tokens,
+            attn_mask=step_mask,
+            positions=positions,
+            cache=cache_,
+            cache_positions=jnp.full((b, 1), idx, jnp.int32),
+        )
+        return o["logits"][:, -1], o["cache"]
+
+    seqs = greedy_search(
+        decode_fn,
+        out["cache"],
+        prompt_lengths=jnp.sum(am, axis=1),
+        first_logits=out["logits"][:, -1],
+        eos_token_id=EOS,
+        pad_token_id=PAD,
+        max_new_tokens=9,
+    )
+    got = np.asarray(seqs)
+    for i in range(2):
+        assert _strip(got[i]) == _strip(ref[i]), (i, got[i], ref[i])
