@@ -1,0 +1,336 @@
+"""MMS-LLaMA-class AVSR model: frozen Whisper + AV-HuBERT -> Q-Former ->
+LLaMA(LoRA), compiled as ONE XLA program per step.
+
+Reference: src/model.py:35-634 (MMS_LLaMA).  The torch version is built from
+Python per-sample loops — dynamic query counts (:564-582), per-sample
+F.interpolate (:596-606), left-pad prompt assembly (:490-562).  Here every
+one of those becomes a vectorized static-shape op:
+
+ * query counts / resize factors -> int32 vectors driving masks;
+ * per-sample time resize -> ops.interpolate.linear_resize_batched;
+ * left-padded [pad | instruction | queries | labels] assembly -> a gather
+   over a per-slot content-index grid (assemble_left_padded below);
+
+so the whole encoder+LLM forward jits once per length bucket and runs on
+the MXU without host sync.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registry import register_model
+from ..nn.avhubert import AVHubertConfig, AVHubertModel
+from ..nn.llama import LlamaConfig, LlamaModel, cross_entropy_lm_loss, generate_beam
+from ..nn.modules import MultimodalAttention, Projector, SpeechRatePredictor
+from ..nn.qformer import QFormer, QFormerConfig
+from ..nn.whisper import WhisperEncoder, WhisperEncoderConfig
+from ..ops.interpolate import linear_resize_batched
+
+LLAMA3_EOS = 128001  # <|end_of_text|>
+LLAMA3_PAD = 128004  # <|finetune_right_pad_id|> (src/model.py:473,539)
+IGNORE_INDEX = -100
+
+
+@dataclass
+class AVSRConfig:
+    whisper: WhisperEncoderConfig = field(default_factory=WhisperEncoderConfig)
+    avhubert: AVHubertConfig = field(default_factory=AVHubertConfig)
+    llama: LlamaConfig = field(default_factory=LlamaConfig)
+    qformer_layers: int = 2
+    qformer_dim: int = 1024
+    modality_fuse: str = "concat"  # concat | add | cross-att
+    use_qformer: bool = True
+    queries_per_sec: int = 3  # train recipe (scripts/train.sh:12)
+    use_sr_predictor: bool = True
+    sr_predictor_layers: int = 2
+    max_video_frames: int = 500  # 20 s at 25 Hz (src/conf/mms-llama.yaml:38)
+    eos_token_id: int = LLAMA3_EOS
+    pad_token_id: int = LLAMA3_PAD
+
+    @property
+    def max_queries(self) -> int:
+        # reference: queries_per_sec * 20 (*2 with SR predictor), model.py:116-119
+        return int(self.queries_per_sec * 20 * (2 if self.use_sr_predictor else 1))
+
+    @property
+    def fused_dim(self) -> int:
+        a = 1024  # whisper/avhubert embed dims
+        return 2 * a if self.modality_fuse == "concat" else a
+
+    @classmethod
+    def tiny(cls):
+        return cls(
+            whisper=WhisperEncoderConfig(
+                n_mels=80, d_model=64, num_layers=2, num_heads=4, ffn_dim=128, max_frames=64
+            ),
+            avhubert=AVHubertConfig.tiny(),
+            llama=LlamaConfig.tiny(),
+            qformer_dim=32,
+            queries_per_sec=2,
+            use_sr_predictor=True,
+            max_video_frames=16,
+            eos_token_id=2,
+            pad_token_id=0,
+        )
+
+
+class AVSREncoder(nn.Module):
+    """Everything before the LLM: acoustic/visual encoders -> fused queries."""
+
+    cfg: AVSRConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        audio_feats: jnp.ndarray,  # [B, n_mels, 2*F] whisper log-mel
+        video: jnp.ndarray,  # [B, T_v, H, W, 1]
+        video_lengths: jnp.ndarray,  # [B]
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (queries [B, Q, llama_dim], query_lens [B])."""
+        cfg = self.cfg
+        t_v = video.shape[1]
+        fused_a = 1024 if cfg.whisper.d_model == 1024 else cfg.whisper.d_model
+
+        # frozen encoders (stop_gradient mirrors torch.no_grad, model.py:280-288)
+        whisper_out = WhisperEncoder(cfg.whisper, dtype=self.dtype, name="whisper")(
+            audio_feats, deterministic=True
+        )
+        whisper_out = jax.lax.stop_gradient(whisper_out)
+        av_out = AVHubertModel(cfg.avhubert, dtype=self.dtype, name="avhubert")(
+            video=video, lengths=video_lengths, train=False
+        )
+        av_out = jax.lax.stop_gradient(av_out)
+        if av_out.shape[-1] != fused_a:
+            av_out = nn.Dense(fused_a, dtype=self.dtype, name="avhubert_bridge")(av_out)
+
+        # speech-rate-aware query budget (model.py:564-582)
+        base_queries = video_lengths.astype(jnp.float32) / 25.0 * cfg.queries_per_sec
+        if cfg.use_sr_predictor:
+            sr_in = whisper_out[:, : 2 * t_v : 4, :]  # 50Hz -> 12.5Hz view
+            if sr_in.shape[-1] != 1024:
+                sr_in = nn.Dense(1024, dtype=self.dtype, name="sr_bridge")(sr_in)
+            factor = SpeechRatePredictor(cfg.sr_predictor_layers, dtype=self.dtype, name="sr_predictor")(
+                sr_in, deterministic=True
+            )[:, 0]
+            factor = jax.lax.stop_gradient(factor)
+            factor = jnp.clip(factor, 1.0, 2.0)  # out-of-range -> clamp (:573-576)
+        else:
+            factor = jnp.ones_like(base_queries)
+        query_lens = jnp.maximum(
+            (base_queries * factor).astype(jnp.int32), cfg.queries_per_sec
+        )
+        query_lens = jnp.minimum(query_lens, cfg.max_queries)
+        resized_lens = jnp.maximum((factor * video_lengths.astype(jnp.float32)).astype(jnp.int32), 1)
+
+        # 50 Hz -> 25 Hz audio conv, then align to video frames (model.py:304,319)
+        a = nn.Conv(
+            fused_a, (2,), strides=(2,), padding="VALID", dtype=self.dtype, name="afeat_1d_conv"
+        )(whisper_out)
+        a = a[:, :t_v, :]
+
+        if cfg.modality_fuse == "concat":
+            av_feat = jnp.concatenate([a, av_out], axis=-1)
+        elif cfg.modality_fuse == "add":
+            av_feat = a + av_out
+        elif cfg.modality_fuse == "cross-att":
+            av_feat = MultimodalAttention(num_heads=8, dtype=self.dtype, name="fusion")(
+                a, av_out, kv_lens=video_lengths
+            )
+        else:
+            raise ValueError(cfg.modality_fuse)
+
+        # speech-rate resize (model.py:596-606) — static 2x budget
+        t_resized = 2 * t_v
+        av_feat = linear_resize_batched(
+            av_feat, video_lengths, resized_lens, t_resized
+        )
+
+        q_cfg = QFormerConfig(
+            num_layers=cfg.qformer_layers,
+            hidden_size=cfg.qformer_dim,
+            num_heads=max(cfg.qformer_dim // 64, 1),
+            intermediate_size=cfg.qformer_dim * 4,
+            encoder_width=av_feat.shape[-1],
+            max_queries=cfg.max_queries,
+        )
+        queries = QFormer(q_cfg, dtype=self.dtype, name="qformer")(
+            av_feat,
+            query_lens=query_lens,
+            enc_lens=resized_lens,
+            deterministic=not train,
+        )
+        llama_dim = cfg.llama.hidden_size
+        queries = Projector(
+            hidden_dim=(cfg.qformer_dim + llama_dim) // 2,
+            output_dim=llama_dim,
+            dtype=self.dtype,
+            name="avfeat_to_llm",
+        )(queries)
+        return queries, query_lens
+
+
+def assemble_left_padded(
+    pad_emb: jnp.ndarray,  # [D]
+    inst_emb: jnp.ndarray,  # [B, Ti, D]
+    queries: jnp.ndarray,  # [B, Q, D]
+    query_lens: jnp.ndarray,  # [B]
+    label_emb: Optional[jnp.ndarray] = None,  # [B, Tl, D]
+    label_tokens: Optional[jnp.ndarray] = None,  # [B, Tl] (pad entries ignored)
+    label_lens: Optional[jnp.ndarray] = None,  # [B]
+):
+    """Vectorized [pad.. | instruction | queries | labels] left-pad assembly.
+
+    Replaces the reference's per-sample loop (src/model.py:490-562) with one
+    gather: for each output slot j, the content index is j - (L - c_i); three
+    range tests route it to instruction/queries/labels, everything else is
+    the pad embedding.  Returns (embeds [B,L,D], attn_mask [B,L],
+    labels [B,L] or None).
+    """
+    b, ti, d = inst_emb.shape
+    q = queries.shape[1]
+    tl = label_emb.shape[1] if label_emb is not None else 0
+    l_total = ti + q + tl
+    if label_lens is None:
+        label_lens = jnp.zeros((b,), jnp.int32)
+
+    content_len = ti + query_lens + label_lens  # [B]
+    j = jnp.arange(l_total)[None, :]  # [1, L]
+    ci = j - (l_total - content_len[:, None])  # [B, L] content index per slot
+
+    in_inst = (ci >= 0) & (ci < ti)
+    in_query = (ci >= ti) & (ci < ti + query_lens[:, None])
+    in_label = ci >= ti + query_lens[:, None]
+
+    inst_idx = jnp.clip(ci, 0, ti - 1)
+    q_idx = jnp.clip(ci - ti, 0, q - 1)
+    gathered_inst = jnp.take_along_axis(inst_emb, inst_idx[..., None], axis=1)
+    gathered_q = jnp.take_along_axis(queries, q_idx[..., None], axis=1)
+
+    out = jnp.where(in_inst[..., None], gathered_inst, pad_emb[None, None, :])
+    out = jnp.where(in_query[..., None], gathered_q, out)
+    attn_mask = (ci >= 0).astype(jnp.int32)
+    labels_out = None
+    if label_emb is not None:
+        lab_idx = jnp.clip(ci - ti - query_lens[:, None], 0, tl - 1)
+        gathered_lab = jnp.take_along_axis(label_emb, lab_idx[..., None], axis=1)
+        out = jnp.where(in_label[..., None], gathered_lab, out)
+        lab_tok = jnp.take_along_axis(label_tokens, lab_idx, axis=1)
+        labels_out = jnp.where(in_label, lab_tok, IGNORE_INDEX)
+    return out, attn_mask, labels_out
+
+
+class AVSRModel(nn.Module):
+    """Full training graph: encoder -> prompt assembly -> LLaMA LM loss."""
+
+    cfg: AVSRConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = AVSREncoder(self.cfg, dtype=self.dtype)
+        self.llama = LlamaModel(self.cfg.llama, dtype=self.dtype)
+
+    def encode_queries(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        return self.encoder(
+            batch["audio_feats"], batch["video"], batch["video_lengths"], train=train
+        )
+
+    def build_prompt(
+        self,
+        queries: jnp.ndarray,
+        query_lens: jnp.ndarray,
+        batch: Dict[str, jnp.ndarray],
+        with_labels: bool,
+    ):
+        pad_emb = self.llama.embed(jnp.asarray(self.cfg.pad_token_id))
+        inst_emb = self.llama.embed(batch["instruction"])
+        if with_labels:
+            label_emb = self.llama.embed(jnp.maximum(batch["labels"], 0))
+            return assemble_left_padded(
+                pad_emb,
+                inst_emb,
+                queries,
+                query_lens,
+                label_emb,
+                batch["labels"],
+                batch["label_lengths"],
+            )
+        return assemble_left_padded(pad_emb, inst_emb, queries, query_lens)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        """Training/validation forward. Returns (loss, aux dict)."""
+        queries, query_lens = self.encode_queries(batch, train=train)
+        emb, attn_mask, labels = self.build_prompt(queries, query_lens, batch, True)
+        out = self.llama(
+            inputs_embeds=emb, attn_mask=attn_mask, deterministic=not train,
+            return_hidden=True,
+        )
+        loss, n_correct, n_valid = cross_entropy_lm_loss(out["logits"], labels)
+        return loss, {
+            "logits": out["logits"],
+            "labels": labels,
+            "hidden": out["hidden"],
+            "attn_mask": attn_mask,
+            "query_lens": query_lens,
+            "n_correct": n_correct,
+            "n_valid": n_valid,
+        }
+
+    def prompt_for_generation(self, batch: Dict[str, jnp.ndarray]):
+        queries, query_lens = self.encode_queries(batch, train=False)
+        emb, attn_mask, _ = self.build_prompt(queries, query_lens, batch, False)
+        return emb, attn_mask
+
+
+@register_model("mms_llama_avsr", config=AVSRConfig)
+class AVSRSystem:
+    """Bundles the module with generation (HF-generate-equivalent decode)."""
+
+    def __init__(self, cfg: AVSRConfig):
+        self.cfg = cfg
+        self.module = AVSRModel(cfg)
+        self.llama_module = LlamaModel(cfg.llama)
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(cfg)
+
+    def init(self, rng, batch):
+        return self.module.init(rng, batch)
+
+    def loss_fn(self, variables, batch, train=False, rngs=None):
+        return self.module.apply(variables, batch, train=train, rngs=rngs)
+
+    def generate(
+        self,
+        variables,
+        batch,
+        num_beams: int = 5,
+        max_new_tokens: int = 100,
+        length_penalty: float = 1.0,
+        cache_dtype=jnp.bfloat16,
+    ):
+        """Beam-search transcription (reference: src/model.py:371-487)."""
+        emb, attn_mask = self.module.apply(
+            variables, batch, method=AVSRModel.prompt_for_generation
+        )
+        llama_vars = {"params": variables["params"]["llama"]}
+        return generate_beam(
+            self.llama_module,
+            llama_vars,
+            emb,
+            attn_mask,
+            eos_token_id=self.cfg.eos_token_id,
+            pad_token_id=self.cfg.pad_token_id,
+            num_beams=num_beams,
+            max_new_tokens=max_new_tokens,
+            length_penalty=length_penalty,
+            cache_dtype=cache_dtype,
+        )

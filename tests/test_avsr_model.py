@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalvc_tpu.models.avsr import (
+    IGNORE_INDEX,
+    AVSRConfig,
+    AVSRSystem,
+    assemble_left_padded,
+)
+
+
+def make_batch(rng, cfg, b=2):
+    t_v = cfg.max_video_frames
+    n_frames = 2 * cfg.whisper.max_frames
+    batch = {
+        "audio_feats": jnp.asarray(
+            rng.standard_normal((b, cfg.whisper.n_mels, n_frames)).astype(np.float32)
+        ),
+        "video": jnp.asarray(rng.standard_normal((b, t_v, 24, 24, 1)).astype(np.float32)),
+        "video_lengths": jnp.asarray([t_v, t_v // 2], dtype=jnp.int32),
+        "instruction": jnp.asarray(rng.integers(1, 200, (b, 5))),
+        "labels": jnp.asarray(rng.integers(1, 200, (b, 8))),
+        "label_lengths": jnp.asarray([8, 4], dtype=jnp.int32),
+    }
+    return batch
+
+
+def test_assemble_left_padded(rng):
+    d = 4
+    pad = jnp.full((d,), -1.0)
+    inst = jnp.asarray(rng.standard_normal((2, 3, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((2, 5, d)).astype(np.float32))
+    q_lens = jnp.asarray([5, 2])
+    lab_emb = jnp.asarray(rng.standard_normal((2, 4, d)).astype(np.float32))
+    lab_tok = jnp.asarray([[11, 12, 13, 14], [21, 22, 0, 0]])
+    lab_lens = jnp.asarray([4, 2])
+    emb, mask, labels = assemble_left_padded(pad, inst, queries, q_lens, lab_emb, lab_tok, lab_lens)
+    L = 3 + 5 + 4
+    assert emb.shape == (2, L, d)
+    # row 0: full content 12 == L -> no padding
+    assert mask[0].sum() == 12 and mask[1].sum() == 3 + 2 + 2
+    np.testing.assert_allclose(np.asarray(emb[0, :3]), np.asarray(inst[0]))
+    np.testing.assert_allclose(np.asarray(emb[0, 3:8]), np.asarray(queries[0]))
+    np.testing.assert_allclose(np.asarray(emb[0, 8:]), np.asarray(lab_emb[0]))
+    # row 1: pad(5) inst(3) q(2) lab(2)
+    np.testing.assert_allclose(np.asarray(emb[1, :5]), np.full((5, d), -1.0))
+    np.testing.assert_allclose(np.asarray(emb[1, 5:8]), np.asarray(inst[1]))
+    np.testing.assert_allclose(np.asarray(emb[1, 8:10]), np.asarray(queries[1, :2]))
+    np.testing.assert_allclose(np.asarray(emb[1, 10:]), np.asarray(lab_emb[1, :2]))
+    # labels: IGNORE everywhere except label region
+    assert list(np.asarray(labels[0])) == [IGNORE_INDEX] * 8 + [11, 12, 13, 14]
+    assert list(np.asarray(labels[1])) == [IGNORE_INDEX] * 10 + [21, 22]
+
+
+def test_avsr_forward_and_generate(rng):
+    cfg = AVSRConfig.tiny()
+    system = AVSRSystem(cfg)
+    batch = make_batch(rng, cfg)
+    variables = system.init(jax.random.PRNGKey(0), batch)
+    (loss, aux), _ = jax.jit(
+        lambda v, b: system.loss_fn(v, b), static_argnums=()
+    )(variables, batch), None
+    assert np.isfinite(float(loss))
+    assert int(aux["n_valid"]) > 0
+    # query budget respects the SR-scaled bounds
+    q_lens = np.asarray(aux["query_lens"])
+    assert (q_lens >= cfg.queries_per_sec).all()
+    assert (q_lens <= cfg.max_queries).all()
+
+    seqs, scores = system.generate(variables, batch, num_beams=2, max_new_tokens=4,
+                                   cache_dtype=jnp.float32)
+    assert seqs.shape == (2, 2, 4)
+    assert np.all(np.asarray(scores)[:, 0] >= np.asarray(scores)[:, 1] - 1e-6)
+
+
+def test_avsr_grads_flow_only_to_trainable(rng):
+    """Frozen encoders (whisper/avhubert/sr) get zero grads via stop_gradient."""
+    cfg = AVSRConfig.tiny()
+    system = AVSRSystem(cfg)
+    batch = make_batch(rng, cfg)
+    variables = system.init(jax.random.PRNGKey(0), batch)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_of(p):
+        out, _ = system.module.apply({"params": p, **rest}, batch)
+        return out
+
+    grads = jax.grad(loss_of)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+
+    def total(pred):
+        vals = [jnp.abs(v).sum() for kp, v in flat if pred("/".join(str(getattr(k, "key", k)) for k in kp))]
+        return float(sum(vals)) if vals else 0.0
+
+    assert total(lambda p: "whisper" in p and "sr_" not in p) == 0.0
+    assert total(lambda p: "avhubert" in p) == 0.0
+    assert total(lambda p: "qformer" in p) > 0.0
+    assert total(lambda p: "avfeat_to_llm" in p) > 0.0
+    assert total(lambda p: "lora" in p) > 0.0
