@@ -52,6 +52,9 @@ class AVSRConfig:
     max_video_frames: int = 500  # 20 s at 25 Hz (src/conf/mms-llama.yaml:38)
     eos_token_id: int = LLAMA3_EOS
     pad_token_id: int = LLAMA3_PAD
+    # NoLLM-style modality dropout: learned mask embeddings replace a whole
+    # encoder stream (src/modelSpeechNoLLM.py:169-171,312-322)
+    modality_dropout: bool = False
 
     @property
     def max_queries(self) -> int:
@@ -93,6 +96,7 @@ class AVSREncoder(nn.Module):
         video: jnp.ndarray,  # [B, T_v, H, W, 1]
         video_lengths: jnp.ndarray,  # [B]
         train: bool = False,
+        modality_mode: Optional[jnp.ndarray] = None,  # 0=av, 1=video_only, 2=audio_only
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (queries [B, Q, llama_dim], query_lens [B])."""
         cfg = self.cfg
@@ -135,6 +139,21 @@ class AVSREncoder(nn.Module):
             fused_a, (2,), strides=(2,), padding="VALID", dtype=self.dtype, name="afeat_1d_conv"
         )(whisper_out)
         a = a[:, :t_v, :]
+
+        if cfg.modality_dropout:
+            audio_mask_emb = self.param(
+                "audio_mask_emb", nn.initializers.uniform(1.0), (fused_a,)
+            )
+            video_mask_emb = self.param(
+                "video_mask_emb", nn.initializers.uniform(1.0), (av_out.shape[-1],)
+            )
+            mode = modality_mode if modality_mode is not None else jnp.zeros((), jnp.int32)
+            a = jnp.where(mode == 1, jnp.broadcast_to(audio_mask_emb, a.shape).astype(a.dtype), a)
+            av_out = jnp.where(
+                mode == 2,
+                jnp.broadcast_to(video_mask_emb, av_out.shape).astype(av_out.dtype),
+                av_out,
+            )
 
         if cfg.modality_fuse == "concat":
             av_feat = jnp.concatenate([a, av_out], axis=-1)

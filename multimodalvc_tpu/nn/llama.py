@@ -280,6 +280,7 @@ class LlamaModel(nn.Module):
         deterministic: bool = True,
         return_hidden: bool = False,
         cache_positions: Optional[jnp.ndarray] = None,
+        compute_logits: bool = True,
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -299,7 +300,10 @@ class LlamaModel(nn.Module):
             )
             new_caches.append(new_c)
         x = self.norm(x)
-        logits = self.unembed(x)
+        # the Speech head only needs hidden states — skip the [*, vocab]
+        # unembed matmul entirely then (reference runs the LM head anyway;
+        # here XLA never materialises it)
+        logits = self.unembed(x) if compute_logits else None
         out = {"logits": logits, "cache": tuple(new_caches) if cache is not None else None}
         if return_hidden:
             out["hidden"] = x
