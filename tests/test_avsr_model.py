@@ -13,15 +13,17 @@ from multimodalvc_tpu.models.avsr import (
 def make_batch(rng, cfg, b=2):
     t_v = cfg.max_video_frames
     n_frames = 2 * cfg.whisper.max_frames
+    vid_lens = [t_v if i % 2 == 0 else t_v // 2 for i in range(b)]
+    lab_lens = [8 if i % 2 == 0 else 4 for i in range(b)]
     batch = {
         "audio_feats": jnp.asarray(
             rng.standard_normal((b, cfg.whisper.n_mels, n_frames)).astype(np.float32)
         ),
         "video": jnp.asarray(rng.standard_normal((b, t_v, 24, 24, 1)).astype(np.float32)),
-        "video_lengths": jnp.asarray([t_v, t_v // 2], dtype=jnp.int32),
+        "video_lengths": jnp.asarray(vid_lens, dtype=jnp.int32),
         "instruction": jnp.asarray(rng.integers(1, 200, (b, 5))),
         "labels": jnp.asarray(rng.integers(1, 200, (b, 8))),
-        "label_lengths": jnp.asarray([8, 4], dtype=jnp.int32),
+        "label_lengths": jnp.asarray(lab_lens, dtype=jnp.int32),
     }
     return batch
 

@@ -1,0 +1,102 @@
+"""Trainer on the 8-device virtual mesh: sharded AVSR training steps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalvc_tpu.config.configs import OptimizationConfig
+from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRSystem
+from multimodalvc_tpu.parallel import make_mesh
+from multimodalvc_tpu.runtime.trainer import Trainer, trainable_mask
+from multimodalvc_tpu.runtime.checkpoint import CheckpointManager, filter_frozen
+
+from tests.test_avsr_model import make_batch
+
+
+def _leaf_paths(tree):
+    return {
+        "/".join(str(getattr(k, "key", k)) for k in kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_trainable_mask_lora_exception():
+    params = {
+        "llama": {"q_proj": {"base": {"kernel": jnp.zeros((2, 2))}, "lora_a": jnp.zeros((2, 1))}},
+        "qformer": {"w": jnp.zeros((2,))},
+    }
+    mask = trainable_mask(params, [r"^llama/"])
+    assert mask["llama"]["q_proj"]["base"]["kernel"] is False
+    assert mask["llama"]["q_proj"]["lora_a"] is True
+    assert mask["qformer"]["w"] is True
+
+
+def test_sharded_avsr_training_loss_decreases(rng):
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    cfg = AVSRConfig.tiny()
+    system = AVSRSystem(cfg)
+    batch = make_batch(rng, cfg, b=4)
+    variables = system.init(jax.random.PRNGKey(0), batch)
+    params = variables["params"]
+    collections = {k: v for k, v in variables.items() if k != "params"}
+
+    # snapshot before Trainer: donated buffers may alias these arrays
+    w0 = jax.tree.map(np.asarray, jax.device_get(params["encoder"]["whisper"]))
+    l0 = jax.tree.map(
+        np.asarray, jax.device_get(params["llama"]["layers_0"]["self_attn"]["q_proj"])
+    )
+
+    opt_cfg = OptimizationConfig(
+        lr=3e-3, warmup_updates=2, max_update=50, clip_norm=1.0, update_freq=1
+    )
+    trainer = Trainer(
+        system.make_trainer_loss_fn(),
+        params,
+        collections,
+        opt_cfg,
+        mesh=mesh,
+        frozen_patterns=system.frozen_patterns(),
+    )
+    losses = []
+    for _ in range(6):
+        m = trainer.train_step(batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert trainer.step == 6
+
+    # frozen whisper params unchanged
+    w1 = jax.device_get(trainer.state.params["encoder"]["whisper"])
+    deltas = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), w0, w1)
+    assert max(jax.tree.leaves(deltas)) == 0.0
+    # llama base frozen, lora moved
+    l1 = jax.device_get(trainer.state.params["llama"]["layers_0"]["self_attn"]["q_proj"])
+    assert np.abs(l0["base"]["kernel"] - l1["base"]["kernel"]).max() == 0.0
+    assert np.abs(l0["lora_b"] - l1["lora_b"]).max() > 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = AVSRConfig.tiny()
+    system = AVSRSystem(cfg)
+    batch = make_batch(rng, cfg)
+    variables = system.init(jax.random.PRNGKey(0), batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), best_metric="loss")
+    mgr.save(variables, step=3, val_metrics={"loss": 1.5})
+    mgr.save(variables, step=4, val_metrics={"loss": 2.0})  # not better
+    assert mgr.meta["step"] == 4 and mgr.meta["best_value"] == 1.5
+
+    restored = mgr.restore(variables, "checkpoint_best")
+    orig = jax.device_get(variables["params"]["encoder"]["afeat_1d_conv"]["kernel"])
+    got = restored["params"]["encoder"]["afeat_1d_conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(orig))
+
+
+def test_filter_frozen_strips_subtrees():
+    params = {
+        "encoder": {"whisper": {"w": jnp.zeros((2,))}, "qformer": {"w": jnp.ones((2,))}},
+        "llama": {"q": {"base": {"kernel": jnp.zeros((2, 2))}, "lora_a": jnp.ones((2, 1))}},
+    }
+    out = filter_frozen(params, [r"encoder/whisper/", r"base"])
+    assert "whisper" not in out["encoder"]
+    assert "qformer" in out["encoder"]
+    assert "base" not in out["llama"]["q"] and "lora_a" in out["llama"]["q"]
