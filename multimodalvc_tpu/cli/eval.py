@@ -1,0 +1,106 @@
+"""WER evaluation CLI: batched beam-search decode over a test manifest.
+
+Reference: src/eval.py:51-311 — loads a checkpoint, decodes with beam search
+(beam 5), writes hypo-<tag>.json and wer.<tag> with corpus WER; eval_snr.sh
+reruns it with noise_prob=1 at fixed SNRs.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import logging
+import os
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from ..config import apply_overrides, from_dict, load_yaml, merge
+from ..config.configs import TrainRootConfig
+from ..runtime.checkpoint import CheckpointManager
+from ..runtime.metrics import log_stats
+from ..utils.wer import wer
+from ..data.dataset import PrefetchLoader
+from .train import build_task
+
+logger = logging.getLogger(__name__)
+
+
+def main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float]:
+    logging.basicConfig(level=logging.INFO)
+    task = build_task(cfg)
+    ds = task.load_dataset("test")
+    tok = ds.tokenizer
+
+    sample_idx = ds.batches(max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size)[0]
+    sample = task.prepare_batch(ds.collate([ds[int(i)] for i in sample_idx]))
+    variables = task.init_variables(jax.random.PRNGKey(0), sample)
+
+    ckpt = CheckpointManager(cfg.checkpoint.save_dir)
+    restored = ckpt.restore(
+        {"params": variables["params"], "collections": {k: v for k, v in variables.items() if k != "params"}},
+        cfg.checkpoint.restore_file,
+    )
+    if restored is not None:
+        variables = {"params": restored["params"], **restored["collections"]}
+        logger.info("restored %s", cfg.checkpoint.restore_file)
+    else:
+        logger.warning("no checkpoint found at %s — evaluating random init", cfg.checkpoint.save_dir)
+
+    system = task.system
+    hyps: List[str] = []
+    refs: List[str] = []
+    results = []
+    for raw in PrefetchLoader(
+        ds, ds.batches(max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size)
+    ):
+        batch = task.prepare_batch(raw)
+        gen_batch = {k: v for k, v in batch.items() if k not in ("labels", "label_lengths")}
+        seqs, _ = system.generate(
+            variables,
+            gen_batch,
+            num_beams=cfg.generation.beam,
+            max_new_tokens=cfg.generation.max_len,
+            length_penalty=cfg.generation.length_penalty,
+        )
+        best = np.asarray(seqs[:, 0])
+        for row, sample_id in zip(best, raw["ids"]):
+            toks = []
+            for t in row.tolist():
+                if t == task.model_cfg.eos_token_id:
+                    break
+                toks.append(t)
+            hyp = tok.decode(toks)
+            ref = ds.manifest.labels[int(sample_id)] if ds.manifest.labels else ""
+            hyps.append(hyp)
+            refs.append(ref)
+            results.append({"id": int(sample_id), "hypo": hyp, "ref": ref})
+
+    w, errs, words = wer(hyps, refs)
+    os.makedirs(results_path, exist_ok=True)
+    tag = hashlib.md5(json.dumps(vars(cfg.generation) if hasattr(cfg.generation, "__dict__") else {}, default=str).encode()).hexdigest()[:8]
+    with open(os.path.join(results_path, f"hypo-{tag}.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    with open(os.path.join(results_path, f"wer.{tag}"), "w") as f:
+        f.write(f"WER: {w:.4f}\nerr / num_ref_words = {errs} / {words}\n")
+    logger.info("WER %.4f (%d/%d)", w, errs, words)
+    return {"wer": w, "errors": errs, "words": words}
+
+
+def cli_main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--results", default="results")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+    tree = {}
+    if args.config:
+        merge(tree, load_yaml(args.config))
+    apply_overrides(tree, args.overrides)
+    cfg = from_dict(TrainRootConfig, tree)
+    main(cfg, args.results)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,236 @@
+"""Training CLI: YAML config + dotted overrides -> epoch loop.
+
+Usage (mirrors fairseq-hydra-train, reference scripts/train.sh):
+  python -m multimodalvc_tpu.cli.train --config conf/mms-llama.yaml \
+      dataset.data=/path/manifest optimization.max_update=30000
+
+Loop structure follows fairseq_cli/train.py:170-232: epochs -> train batches
+-> periodic validate-and-save, early stopping on patience, max_update stop.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import (
+    TrainRootConfig,
+    apply_overrides,
+    from_dict,
+    load_yaml,
+    merge,
+    to_dict,
+)
+from ..config.registry import get_config_class, lookup
+from .. import tasks as _tasks  # noqa: F401 — registers tasks
+from ..models import avsr as _avsr, speech as _speech, vocoder as _vocoder  # noqa: F401
+from ..parallel.mesh import make_mesh
+from ..runtime.checkpoint import CheckpointManager
+from ..runtime.metrics import MetricsAggregator, log_stats
+from ..runtime.trainer import Trainer
+from ..data.dataset import PrefetchLoader
+from ..data.batching import pad_batch_to_multiple
+from ..parallel.mesh import local_batch_multiple
+
+logger = logging.getLogger(__name__)
+
+
+def build_config(argv=None) -> TrainRootConfig:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None, help="YAML preset")
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    args = parser.parse_args(argv)
+    tree: Dict[str, Any] = {}
+    if args.config:
+        merge(tree, load_yaml(args.config))
+    apply_overrides(tree, args.overrides)
+    return from_dict(TrainRootConfig, tree)
+
+
+def build_task(cfg: TrainRootConfig):
+    task_dict = dict(cfg.task)
+    task_name = task_dict.pop("name", "avsr_training")
+    task_cls, task_cfg_cls = lookup("task", task_name)
+    task_cfg = from_dict(task_cfg_cls, task_dict) if task_cfg_cls else None
+    # dataset.data flows into the task config if unset there
+    if task_cfg is not None and getattr(task_cfg, "data", "") in ("", None):
+        task_cfg.data = cfg.dataset.data
+    model_dict = dict(cfg.model)
+    model_name = model_dict.pop("name", None)
+    preset = model_dict.pop("preset", None)
+    model_cfg = None
+    if model_name:
+        _, model_cfg_cls = lookup("model", model_name)
+        if model_cfg_cls is not None:
+            if preset:
+                model_cfg = getattr(model_cfg_cls, preset)()
+                for k, v in model_dict.items():
+                    setattr(model_cfg, k, v)
+            else:
+                model_cfg = from_dict(model_cfg_cls, model_dict)
+    return task_cls.from_config(task_cfg, model_cfg)
+
+
+def main(cfg: TrainRootConfig) -> Dict[str, float]:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s | %(levelname)s | %(name)s | %(message)s"
+    )
+    np.random.seed(cfg.common.seed)
+
+    mesh = make_mesh(
+        {
+            "data": cfg.mesh.data,
+            "fsdp": cfg.mesh.fsdp,
+            "tensor": cfg.mesh.tensor,
+            "sequence": cfg.mesh.sequence,
+            "expert": cfg.mesh.expert,
+            "pipeline": cfg.mesh.pipeline,
+        }
+    )
+    task = build_task(cfg)
+
+    # vocoder GAN training has its own dual-optimizer loop
+    if type(task).__name__ == "VocoderTask":
+        return _vocoder_loop(cfg, task, mesh)
+
+    train_ds = task.load_dataset(cfg.dataset.train_subset)
+    valid_ds = task.load_dataset(cfg.dataset.valid_subset)
+
+    sample_idx = train_ds.batches(
+        max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
+    )[0]
+    multiple = local_batch_multiple(mesh)
+    sample_batch = pad_batch_to_multiple(
+        task.prepare_batch(train_ds.collate([train_ds[int(i)] for i in sample_idx])), multiple
+    )
+    variables = task.init_variables(jax.random.PRNGKey(cfg.common.seed), sample_batch)
+    params = variables["params"]
+    collections = {k: v for k, v in variables.items() if k != "params"}
+
+    trainer = Trainer(
+        task.make_loss_fn(),
+        params,
+        collections,
+        cfg.optimization,
+        mesh=mesh,
+        frozen_patterns=task.frozen_patterns(),
+        max_compilations=cfg.common.max_compilations,
+    )
+    valid_step = jax.jit(task.valid_step_fn())
+
+    ckpt = CheckpointManager(
+        cfg.checkpoint.save_dir,
+        best_metric=cfg.checkpoint.best_checkpoint_metric,
+        maximize=cfg.checkpoint.maximize_best_checkpoint_metric,
+    )
+    agg = MetricsAggregator()
+    patience_left = cfg.checkpoint.patience
+    epoch = 0
+    stop = False
+    last_val: Dict[str, float] = {}
+    while not stop:
+        epoch += 1
+        batches = train_ds.batches(
+            max_tokens=cfg.dataset.max_tokens,
+            batch_size=cfg.dataset.batch_size,
+            required_multiple=cfg.dataset.required_batch_size_multiple,
+            epoch=epoch,
+        )
+        loader = PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers)
+        for raw in loader:
+            batch = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
+            metrics = trainer.train_step(batch)
+            agg.update({k: v for k, v in metrics.items()})
+            step = trainer.step
+            if step % cfg.common.log_interval == 0:
+                log_stats(agg.snapshot(), step, "train", cfg.common.log_format)
+                agg.reset()
+            if cfg.optimization.max_update and step >= cfg.optimization.max_update:
+                stop = True
+                break
+        # ---- validation + checkpoint ----------------------------------------
+        if not stop or True:
+            val_agg = MetricsAggregator()
+            v_batches = valid_ds.batches(
+                max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
+            )
+            for raw in PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers):
+                vb = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
+                vm = valid_step(trainer.state.params, trainer.state.collections, vb)
+                val_agg.update({k: float(v) for k, v in vm.items()})
+            last_val = val_agg.snapshot()
+            log_stats(last_val, trainer.step, "valid", cfg.common.log_format)
+            prev_best = ckpt.best_value
+            ckpt.save(
+                {"params": trainer.state.params, "collections": trainer.state.collections},
+                trainer.step,
+                val_metrics=last_val,
+            )
+            if cfg.checkpoint.patience > 0:
+                improved = ckpt.best_value != prev_best
+                patience_left = cfg.checkpoint.patience if improved else patience_left - 1
+                if patience_left <= 0:
+                    logger.info("early stopping (patience exhausted)")
+                    stop = True
+        if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
+            stop = True
+    return last_val
+
+
+def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
+    import jax.numpy as jnp
+
+    model = task.model
+    train_ds = task.load_dataset(cfg.dataset.train_subset)
+    valid_ds = task.load_dataset(cfg.dataset.valid_subset)
+    state = model.init_state(
+        jax.random.PRNGKey(cfg.common.seed),
+        mel_frames=model.cfg.segment_length // 160,
+    )
+    step_fn = jax.jit(model.train_step)
+    valid_fn = jax.jit(model.valid_step)
+    ckpt = CheckpointManager(cfg.checkpoint.save_dir, best_metric="mel_l1")
+    agg = MetricsAggregator()
+    epoch, stop = 0, False
+    last_val: Dict[str, float] = {}
+    while not stop:
+        epoch += 1
+        batches = train_ds.batches(batch_size=cfg.dataset.batch_size or 8, max_tokens=None)
+        for raw in PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers):
+            batch = task.prepare_batch(raw)
+            state, metrics = step_fn(state, batch)
+            agg.update({k: float(v) for k, v in metrics.items()})
+            if int(state.step) % cfg.common.log_interval == 0:
+                log_stats(agg.snapshot(), int(state.step), "train", cfg.common.log_format)
+                agg.reset()
+            if cfg.optimization.max_update and int(state.step) >= cfg.optimization.max_update:
+                stop = True
+                break
+        val_agg = MetricsAggregator()
+        for raw in PrefetchLoader(
+            valid_ds, valid_ds.batches(batch_size=cfg.dataset.batch_size or 8, max_tokens=None)
+        ):
+            val_agg.update({k: float(v) for k, v in valid_fn(state, task.prepare_batch(raw)).items()})
+        last_val = val_agg.snapshot()
+        log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
+        ckpt.save(
+            {"gen_params": state.gen_params, "ema_params": state.ema_params},
+            int(state.step),
+            val_metrics=last_val,
+        )
+        if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
+            stop = True
+    return last_val
+
+
+def cli_main():
+    main(build_config())
+
+
+if __name__ == "__main__":
+    cli_main()

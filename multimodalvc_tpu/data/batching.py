@@ -1,0 +1,127 @@
+"""Length-bucketed batch construction.
+
+Reference: fairseq ``batch_by_size`` backed by Cython
+(fairseq/fairseq/data/data_utils_fast.pyx) — groups length-sorted indices
+under a max-token budget with a batch-size-multiple constraint.  Here the
+grouping additionally snaps each batch's pad length to a BUCKET boundary so
+XLA compiles exactly ``len(buckets)`` programs (the TPU version of the
+reference's dynamic padding).  A C++ fast path (native/batching.cpp) is used
+when built; the numpy path is the always-available fallback.
+"""
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def bucket_for(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= length (lengths beyond the last bucket clamp)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def batch_by_size(
+    sizes: Sequence[int],
+    max_tokens: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    buckets: Sequence[int] = (100, 200, 300, 400, 500),
+    required_multiple: int = 1,
+    shuffle_seed: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Group indices into batches of same-bucket samples.
+
+    Cost model matches fairseq: a batch of n samples padded to bucket B costs
+    n*B tokens; flush when adding a sample would exceed max_tokens or
+    batch_size.  Returns a list of index arrays.
+    """
+    sizes = np.asarray(sizes)
+    order = np.argsort(sizes, kind="stable")
+    try:
+        from .native import batch_by_size_native
+
+        batches = batch_by_size_native(
+            sizes, order, list(buckets), max_tokens or 0, batch_size or 0, required_multiple
+        )
+        if batches is not None:
+            return _shuffled(batches, shuffle_seed)
+    except Exception:
+        pass
+
+    batches: List[np.ndarray] = []
+    cur: List[int] = []
+    cur_bucket = 0
+    for idx in order:
+        b = bucket_for(int(sizes[idx]), buckets)
+        new_bucket = max(cur_bucket, b)
+        n = len(cur) + 1
+        over_tokens = max_tokens is not None and n * new_bucket > max_tokens
+        over_batch = batch_size is not None and n > batch_size
+        if cur and (over_tokens or over_batch or b != cur_bucket):
+            batches.append(np.asarray(_trim(cur, required_multiple)))
+            cur, cur_bucket = [], 0
+            new_bucket = b
+        cur.append(int(idx))
+        cur_bucket = new_bucket
+    if cur:
+        batches.append(np.asarray(_trim(cur, required_multiple, final=True)))
+    return _shuffled(batches, shuffle_seed)
+
+
+def _trim(batch: List[int], multiple: int, final: bool = False) -> List[int]:
+    if multiple <= 1 or len(batch) < multiple:
+        return batch
+    keep = (len(batch) // multiple) * multiple
+    return batch[:keep] if keep else batch
+
+
+def _shuffled(batches: List[np.ndarray], seed: Optional[int]) -> List[np.ndarray]:
+    if seed is None:
+        return batches
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(batches))
+    return [batches[i] for i in order]
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Repeat trailing rows so dim 0 of every array is a mesh multiple.
+
+    Data-parallel sharding needs batch % (data*fsdp) == 0; small final
+    batches are padded by repetition (their duplicated rows inflate sums by
+    <1 batch per epoch — the reference instead drops remainders via
+    required_batch_size_multiple, which loses data).
+    """
+    sizes = {v.shape[0] for v in batch.values() if hasattr(v, "ndim") and v.ndim >= 1}
+    if not sizes:
+        return batch
+    b = max(sizes)
+    target = -(-b // multiple) * multiple
+    if target == b:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b:
+            reps = np.concatenate([np.arange(b), np.full(target - b, b - 1)])
+            out[k] = v[reps]
+        else:
+            out[k] = v
+    return out
+
+
+def pad_to(arr: np.ndarray, length: int, axis: int = 0, value=0) -> np.ndarray:
+    """Pad/truncate along one axis to a static length."""
+    cur = arr.shape[axis]
+    if cur == length:
+        return arr
+    if cur > length:
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(0, length)
+        return arr[tuple(sl)]
+    cfg = [(0, 0)] * arr.ndim
+    cfg[axis] = (0, length - cur)
+    return np.pad(arr, cfg, constant_values=value)

@@ -73,7 +73,8 @@ class AVSRConfig:
                 n_mels=80, d_model=64, num_layers=2, num_heads=4, ffn_dim=128, max_frames=64
             ),
             avhubert=AVHubertConfig.tiny(),
-            llama=LlamaConfig.tiny(),
+            # 512 tokens covers the byte-level CharTokenizer (ids up to 258)
+            llama=LlamaConfig.tiny(vocab_size=512),
             qformer_dim=32,
             queries_per_sec=2,
             use_sr_predictor=True,

@@ -1,0 +1,268 @@
+"""Task layer: couples datasets, models and criterions for the CLI.
+
+Reference: src/task.py:33-218 (MMS_LLaMA_TrainingTask) + fairseq's task
+registry.  A task owns dataset construction per split, the trainer loss
+function, the validation step, and (for AVSR) decode.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.registry import register_task
+from .data.dataset import AVSRDataset, AVSRDatasetConfig
+from .models.avsr import AVSRConfig, AVSRSystem
+from .models.speech import SpeechConfig, SpeechE2EModel, SpeechLLMModel, SpeechNoLLMModel
+from .models.vocoder import VocoderConfig, VocoderModel
+from .criterions.mel import MelL1Config, MelL1Criterion
+
+logger = logging.getLogger(__name__)
+
+
+def _trim_audio_feats(batch: Dict[str, np.ndarray], whisper_frames: int) -> Dict[str, np.ndarray]:
+    """Cut the fixed 30 s whisper features down to the model's window."""
+    af = batch.get("audio_feats")
+    if af is not None and af.shape[-1] > 2 * whisper_frames:
+        batch = dict(batch)
+        batch["audio_feats"] = af[..., : 2 * whisper_frames]
+    return batch
+
+
+@dataclass
+class AVSRTaskConfig:
+    data: str = ""
+    llm_path: Optional[str] = None
+    noise_wav: Optional[str] = None
+    noise_prob: float = 0.25
+    noise_snr: Optional[float] = None
+    modalities: tuple = ("video", "audio")
+    max_video_frames: int = 500
+    max_label_tokens: int = 96
+    length_buckets: tuple = (100, 200, 300, 400, 500)
+    image_aug: bool = True
+
+
+@register_task("avsr_training", config=AVSRTaskConfig)
+class AVSRTask:
+    """LM-loss AVSR fine-tuning (reference task MMS_LLaMA_training)."""
+
+    def __init__(self, cfg: AVSRTaskConfig, model_cfg: Optional[AVSRConfig] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg or AVSRConfig()
+        self.system = AVSRSystem(self.model_cfg)
+
+    @classmethod
+    def from_config(cls, cfg, model_cfg=None):
+        return cls(cfg, model_cfg)
+
+    def load_dataset(self, subset: str) -> AVSRDataset:
+        c = self.cfg
+        ds = AVSRDataset(
+            AVSRDatasetConfig(
+                manifest_dir=c.data,
+                subset=subset,
+                llm_path=c.llm_path,
+                modalities=c.modalities,
+                noise_wav=c.noise_wav,
+                noise_prob=c.noise_prob if subset == "train" else (
+                    c.noise_prob if c.noise_snr is not None else 0.0
+                ),
+                noise_snr=c.noise_snr,
+                max_video_frames=c.max_video_frames,
+                max_label_tokens=c.max_label_tokens,
+                length_buckets=tuple(c.length_buckets),
+                image_aug=c.image_aug,
+                with_text_labels=True,
+            )
+        )
+        # special-token ids follow the tokenizer (src/model.py:473 derives the
+        # pad id from the tokenizer the same way)
+        self.model_cfg.eos_token_id = ds.tokenizer.eos_token_id
+        self.model_cfg.pad_token_id = ds.tokenizer.pad_token_id
+        return ds
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        batch = _trim_audio_feats(batch, self.model_cfg.whisper.max_frames)
+        keys = (
+            "video",
+            "video_lengths",
+            "audio_feats",
+            "audio_lengths",
+            "instruction",
+            "labels",
+            "label_lengths",
+        )
+        return {k: batch[k] for k in keys if k in batch}
+
+    def init_variables(self, rng, sample_batch):
+        return self.system.init(rng, self.prepare_batch(sample_batch))
+
+    def make_loss_fn(self):
+        return self.system.make_trainer_loss_fn()
+
+    def frozen_patterns(self):
+        return self.system.frozen_patterns()
+
+    def valid_step_fn(self):
+        module = self.system.module
+
+        def valid_step(params, collections, batch):
+            loss, aux = module.apply({"params": params, **collections}, batch, train=False)
+            return {
+                "loss": loss,
+                "accuracy": aux["n_correct"] / jnp.maximum(aux["n_valid"], 1),
+                "n_tokens": aux["n_valid"],
+            }
+
+        return valid_step
+
+
+@dataclass
+class SpeechTaskConfig(AVSRTaskConfig):
+    variant: str = "nollm"  # llm | nollm | e2e
+    max_mel_frames: int = 2400
+    p_modality_av: float = 0.5
+    p_modality_video_only: float = 0.25
+    p_modality_audio_only: float = 0.25
+
+
+@register_task("speech_training", config=SpeechTaskConfig)
+class SpeechTask:
+    """Mel-regression speech-head fine-tuning (MMS_LLaMA_Speech / NoLLM)."""
+
+    def __init__(self, cfg: SpeechTaskConfig, model_cfg: Optional[SpeechConfig] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg or SpeechConfig()
+        if cfg.variant == "llm":
+            self.module = SpeechLLMModel(self.model_cfg)
+        elif cfg.variant == "nollm":
+            self.model_cfg.modality_dropout = True
+            self.module = SpeechNoLLMModel(self.model_cfg)
+        else:
+            raise ValueError(f"variant {cfg.variant} (e2e uses task 'e2e_gan_training')")
+        self.criterion = MelL1Criterion(MelL1Config())
+        self._mode_rng = np.random.default_rng(7)
+
+    @classmethod
+    def from_config(cls, cfg, model_cfg=None):
+        return cls(cfg, model_cfg)
+
+    def load_dataset(self, subset: str) -> AVSRDataset:
+        c = self.cfg
+        return AVSRDataset(
+            AVSRDatasetConfig(
+                manifest_dir=c.data,
+                subset=subset,
+                llm_path=c.llm_path,
+                modalities=c.modalities,
+                max_video_frames=c.max_video_frames,
+                length_buckets=tuple(c.length_buckets),
+                with_text_labels=c.variant == "llm",
+                with_mel_targets=True,
+                max_mel_frames=c.max_mel_frames,
+            )
+        )
+
+    def prepare_batch(self, batch):
+        batch = _trim_audio_feats(dict(batch), self.model_cfg.whisper.max_frames)
+        keys = (
+            "video", "video_lengths", "audio_feats", "audio_lengths",
+            "instruction", "target_mel", "target_mel_lengths",
+        )
+        out = {k: batch[k] for k in keys if k in batch}
+        if self.cfg.variant == "llm" and "instruction" not in out:
+            raise ValueError("llm variant needs instruction tokens")
+        # batch-level modality dropout mode (src/modelSpeechNoLLM.py:312-322)
+        mode = self._mode_rng.choice(
+            3,
+            p=[self.cfg.p_modality_av, self.cfg.p_modality_video_only, self.cfg.p_modality_audio_only],
+        )
+        out["modality_mode"] = np.asarray(mode, np.int32)
+        return out
+
+    def init_variables(self, rng, sample_batch):
+        return self.module.init(rng, self.prepare_batch(sample_batch), train=True)
+
+    def frozen_patterns(self):
+        pats = [r"encoder/whisper/", r"encoder/avhubert/", r"encoder/sr_predictor/"]
+        if self.cfg.variant == "llm":
+            pats.append(r"^llama/")
+        return pats
+
+    def make_loss_fn(self):
+        module, criterion = self.module, self.criterion
+
+        def loss_fn(params, collections, batch, rng):
+            variables = {"params": params, **(collections or {})}
+            out, mutated = module.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss, metrics = criterion(out, batch, train=True)
+            new_colls = dict(collections or {})
+            new_colls.update(mutated)
+            return loss, (metrics, new_colls)
+
+        return loss_fn
+
+    def valid_step_fn(self):
+        module, criterion = self.module, self.criterion
+
+        def valid_step(params, collections, batch):
+            out = module.apply({"params": params, **collections}, batch, train=False)
+            _, metrics = criterion(out, batch, train=False)
+            return metrics
+
+        return valid_step
+
+
+@dataclass
+class VocoderTaskConfig:
+    data: str = ""
+    segment_length: int = 8320
+    lr: float = 1e-4
+
+
+@register_task("vocoder_training", config=VocoderTaskConfig)
+class VocoderTask:
+    """Standalone HiFi-GAN pretraining (scripts/trainGermanVocoder.py)."""
+
+    def __init__(self, cfg: VocoderTaskConfig, model_cfg: Optional[VocoderConfig] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg or VocoderConfig(lr=cfg.lr, segment_length=cfg.segment_length)
+        self.model = VocoderModel(self.model_cfg)
+
+    @classmethod
+    def from_config(cls, cfg, model_cfg=None):
+        return cls(cfg, model_cfg)
+
+    def load_dataset(self, subset: str):
+        from .data.dataset import AVSRDataset, AVSRDatasetConfig
+
+        return AVSRDataset(
+            AVSRDatasetConfig(
+                manifest_dir=self.cfg.data,
+                subset=subset,
+                modalities=("audio",),
+                with_text_labels=False,
+                with_mel_targets=True,
+                with_waveform=True,
+                max_mel_frames=self.model_cfg.segment_length // 160,
+            )
+        )
+
+    def prepare_batch(self, batch):
+        seg = self.model_cfg.segment_length
+        n_mel = seg // 160
+        return {
+            "mel": batch["target_mel"][:, :n_mel],
+            "wav": batch["waveform"][:, :seg],
+        }

@@ -1,0 +1,71 @@
+"""End-to-end CLI integration: train tiny AVSR on synthetic data, then eval.
+
+The JAX analog of fairseq's test_binaries.py: real CLI mains on a real
+on-disk corpus, no mocks.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from multimodalvc_tpu.config import TrainRootConfig, from_dict
+from multimodalvc_tpu.cli.eval import main as eval_main
+from multimodalvc_tpu.cli.train import build_config, main as train_main
+
+from tests.fixtures import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clicorpus")
+    return make_corpus(str(root), frame_sizes=(10, 14, 16))
+
+
+def _cfg(root, noise, save_dir):
+    tree = {
+        "common": {"log_interval": 2},
+        "mesh": {"data": -1},
+        "dataset": {
+            "data": root,
+            "max_tokens": 64,
+            "num_workers": 2,
+            "required_batch_size_multiple": 1,
+        },
+        "optimization": {
+            "max_update": 6,
+            "lr": 1e-3,
+            "warmup_updates": 2,
+            "update_freq": 1,
+        },
+        "checkpoint": {"save_dir": save_dir},
+        "generation": {"beam": 2, "max_len": 6},
+        "task": {
+            "name": "avsr_training",
+            "noise_wav": noise,
+            "noise_prob": 0.5,
+            "max_video_frames": 16,
+            "max_label_tokens": 16,
+            "length_buckets": [16],
+            "image_aug": False,
+        },
+        "model": {"name": "mms_llama_avsr", "preset": "tiny"},
+    }
+    return from_dict(TrainRootConfig, tree)
+
+
+def test_cli_train_then_eval(corpus, tmp_path):
+    root, noise = corpus
+    save_dir = str(tmp_path / "ckpt")
+    cfg = _cfg(root, noise, save_dir)
+    # the char tokenizer vocab (260ish) must fit the tiny llama vocab (256):
+    # bump tiny vocab via model override
+    val = train_main(cfg)
+    assert "loss" in val and np.isfinite(val["loss"])
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_best"))
+
+    res = eval_main(cfg, results_path=str(tmp_path / "results"))
+    assert "wer" in res and res["words"] > 0
+    files = os.listdir(tmp_path / "results")
+    assert any(f.startswith("hypo-") for f in files)
+    assert any(f.startswith("wer.") for f in files)

@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from multimodalvc_tpu.data import (
+    AVSRDataset,
+    AVSRDatasetConfig,
+    PrefetchLoader,
+    batch_by_size,
+    load_manifest,
+)
+from multimodalvc_tpu.utils.wer import cer, edit_distance, wer
+
+from tests.fixtures import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return make_corpus(str(root))
+
+
+def test_manifest_parse_and_filter(corpus):
+    root, _ = corpus
+    m = load_manifest(f"{root}/train.tsv", label_path=f"{root}/train.wrd")
+    assert len(m) == 6
+    assert len(m.labels) == 6
+    assert m.entries[0].n_video_frames == 30
+    m2 = load_manifest(f"{root}/train.tsv", max_keep_frames=50)
+    assert len(m2) == 4  # 60-frame clips dropped
+
+
+def test_batch_by_size_buckets():
+    sizes = [30, 45, 60, 30, 45, 60, 31]
+    batches = batch_by_size(sizes, max_tokens=200, buckets=(32, 48, 64))
+    covered = sorted(int(i) for b in batches for i in b)
+    assert covered == list(range(7))
+    # same-bucket grouping
+    for b in batches:
+        bks = {min(bk for bk in (32, 48, 64) if sizes[int(i)] <= bk) for i in b}
+        assert len(bks) == 1
+    # token budget respected
+    for b in batches:
+        bucket = max(min(bk for bk in (32, 48, 64) if sizes[int(i)] <= bk) for i in b)
+        assert len(b) * bucket <= 200
+
+
+def test_dataset_item_and_collate(corpus):
+    root, noise = corpus
+    cfg = AVSRDatasetConfig(
+        manifest_dir=root,
+        subset="train",
+        noise_wav=noise,
+        noise_prob=1.0,
+        length_buckets=(32, 48, 64),
+        max_label_tokens=24,
+        with_mel_targets=True,
+        with_waveform=True,
+    )
+    ds = AVSRDataset(cfg)
+    s = ds[0]
+    assert s["video"].shape == (30, 88, 88, 1)
+    assert s["audio_feats"].shape == (80, 3000)
+    assert s["labels"][-1] == ds.tokenizer.eos_token_id
+    assert s["target_mel"].shape[1] == 128
+
+    batches = ds.batches(max_tokens=128)
+    loader = PrefetchLoader(ds, batches, num_workers=2)
+    seen = 0
+    for batch in loader:
+        b, t_v = batch["video"].shape[:2]
+        assert t_v in (32, 48, 64)
+        assert batch["audio_feats"].shape == (b, 80, 3000)
+        assert batch["labels"].shape[1] == 24
+        assert batch["instruction"].shape[0] == b
+        assert batch["target_mel"].shape[1:] == (cfg.max_mel_frames, 128)
+        assert batch["waveform"].shape[1] == cfg.max_mel_frames * 160
+        seen += b
+    assert seen == 6
+
+
+def test_eval_mode_no_aug_deterministic(corpus):
+    root, _ = corpus
+    cfg = AVSRDatasetConfig(manifest_dir=root, subset="test", length_buckets=(32, 48, 64))
+    ds = AVSRDataset(cfg)
+    a, b = ds[1], ds[1]
+    np.testing.assert_array_equal(a["video"], b["video"])
+
+
+def test_wer_and_edit_distance():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([], [1, 2]) == 2
+    w, errs, words = wer(["the cat sat"], ["the cat sat"])
+    assert w == 0 and errs == 0 and words == 3
+    w, errs, words = wer(["the cat sit down"], ["the cat sat"])
+    assert errs == 2 and words == 3
+    assert abs(w - 200.0 / 3) < 1e-9
+    assert cer(["abc"], ["abd"]) == pytest.approx(100.0 / 3)
