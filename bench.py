@@ -1,0 +1,185 @@
+"""Benchmark: full-size AVSR inference (encoders + Q-Former + LLaMA beam-5
+decode) realtime factor on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: >= 10x realtime per chip (BASELINE.md / BASELINE.json);
+vs_baseline is value / 10.
+
+Model sizes mirror the reference's deployed stack: Whisper-medium encoder
+(24L/1024), AV-HuBERT-large (24L/1024, ResNet-18 frontend), 2-layer Q-Former
+(1024), LLaMA-3.2-3B (28L/3072, GQA 24/8) in bf16 with LoRA r=16.
+Weights are random (no released checkpoints in this environment) — compute
+cost is identical to the pretrained model.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_llama_params_bf16(cfg, rng_seed=0):
+    """Directly materialise a bf16 LLaMA param tree (avoids a 12 GB fp32
+    flax-init on a 16 GB chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    kdim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    key = jax.random.PRNGKey(rng_seed)
+
+    def nrm(key, shape, scale):
+        return (jax.random.normal(key, shape, jnp.bfloat16) * scale).astype(jnp.bfloat16)
+
+    def lora(key, din, dout):
+        r = cfg.lora.rank if cfg.lora else 0
+        if not r:
+            return {}
+        k1, _ = jax.random.split(key)
+        return {
+            "lora_a": nrm(k1, (din, r), 0.01).astype(jnp.float32),
+            "lora_b": jnp.zeros((r, dout), jnp.float32),
+        }
+
+    params = {
+        "embed_tokens": {"embedding": nrm(key, (cfg.vocab_size, h), 0.02)},
+        "norm": {"scale": jnp.ones((h,), jnp.float32)},
+    }
+    for i in range(cfg.num_layers):
+        key, *ks = jax.random.split(key, 8)
+        params[f"layers_{i}"] = {
+            "input_layernorm": {"scale": jnp.ones((h,), jnp.float32)},
+            "post_attention_layernorm": {"scale": jnp.ones((h,), jnp.float32)},
+            "self_attn": {
+                "q_proj": {"base": {"kernel": nrm(ks[0], (h, kdim), 0.02)}, **lora(ks[0], h, kdim)},
+                "k_proj": {"base": {"kernel": nrm(ks[1], (h, kvdim), 0.02)}, **lora(ks[1], h, kvdim)},
+                "v_proj": {"base": {"kernel": nrm(ks[2], (h, kvdim), 0.02)}, **lora(ks[2], h, kvdim)},
+                "o_proj": {"base": {"kernel": nrm(ks[3], (kdim, h), 0.02)}, **lora(ks[3], kdim, h)},
+            },
+            "mlp": {
+                "gate_proj": {"kernel": nrm(ks[4], (h, inter), 0.02)},
+                "up_proj": {"kernel": nrm(ks[5], (h, inter), 0.02)},
+                "down_proj": {"kernel": nrm(ks[6], (inter, h), 0.02)},
+            },
+        }
+    return params
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--seconds", type=float, default=16.0, help="utterance length")
+    parser.add_argument("--beams", type=int, default=5)
+    parser.add_argument("--new-tokens", type=int, default=64)
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRModel, AVSRSystem
+    from multimodalvc_tpu.nn.llama import generate_beam
+
+    if args.tiny:
+        cfg = AVSRConfig.tiny()
+        args.new_tokens = 4
+        args.beams = 2
+    else:
+        cfg = AVSRConfig()
+        cfg.max_video_frames = int(args.seconds * 25)
+        cfg.queries_per_sec = 3
+    b = args.batch
+    t_v = cfg.max_video_frames
+    crop = 24 if args.tiny else 88
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio_feats": jnp.asarray(
+            rng.standard_normal((b, cfg.whisper.n_mels, 2 * cfg.whisper.max_frames)).astype(
+                np.float32
+            )
+        ),
+        "video": jnp.asarray(
+            rng.standard_normal((b, t_v, crop, crop, 1)).astype(np.float32)
+        ),
+        "video_lengths": jnp.asarray([t_v] * b, dtype=jnp.int32),
+        "instruction": jnp.asarray(rng.integers(1, 200, (b, 10))),
+    }
+
+    system = AVSRSystem(cfg)
+    # init encoder-side params on a short clip (cheap), then swap in the
+    # manually-built bf16 llama params
+    short = dict(batch)
+    short["video"] = batch["video"][:, : min(t_v, 32)]
+    short["video_lengths"] = jnp.minimum(batch["video_lengths"], 32)
+    short["labels"] = jnp.asarray(rng.integers(1, 200, (b, 4)))
+    short["label_lengths"] = jnp.asarray([4] * b, dtype=jnp.int32)
+    variables = system.init(jax.random.PRNGKey(0), short)
+    variables = dict(variables)
+    params = dict(variables["params"])
+    if not args.tiny:
+        params["llama"] = build_llama_params_bf16(cfg.llama)
+    variables["params"] = params
+
+    prompt_fn = jax.jit(
+        lambda v, bt: system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
+    )
+
+    def decode(v, bt):
+        emb, mask = prompt_fn(v, bt)
+        llama_vars = {"params": v["params"]["llama"]}
+        seqs, scores = generate_beam(
+            system.llama_module,
+            llama_vars,
+            emb,
+            mask,
+            eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id,
+            num_beams=args.beams,
+            max_new_tokens=args.new_tokens,
+            cache_dtype=jnp.bfloat16,
+        )
+        return seqs
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    decode(variables, batch).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        decode(variables, batch).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_seconds = b * (t_v / 25.0)
+    rtf = audio_seconds / wall
+
+    result = {
+        "metric": "avsr_realtime_factor",
+        "value": round(rtf, 3),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 10.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "wall_s_per_batch": round(wall, 4),
+                    "batch": b,
+                    "utt_seconds": t_v / 25.0,
+                    "beams": args.beams,
+                    "new_tokens": args.new_tokens,
+                    "compile_s": round(compile_s, 1),
+                    "backend": jax.default_backend(),
+                }
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

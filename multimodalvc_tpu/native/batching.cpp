@@ -1,0 +1,42 @@
+// Length-bucketed batch construction hot loop.
+//
+// Native-equivalent of fairseq's Cython batch_by_size
+// (fairseq/fairseq/data/data_utils_fast.pyx) extended with bucket snapping:
+// cost of a batch is n * bucket(max_len) tokens.
+//
+// Inputs: sizes[n], order[n] (length-sorted indices), buckets[nb] ascending.
+// Output: out_batch_ids[i] = batch index of order[i].  Returns #batches.
+#include <cstdint>
+
+extern "C" {
+
+static inline int64_t bucket_of(int64_t len, const int64_t* buckets, int64_t nb) {
+  for (int64_t i = 0; i < nb; ++i)
+    if (len <= buckets[i]) return buckets[i];
+  return buckets[nb - 1];
+}
+
+int64_t mmvc_batch_by_size(const int64_t* sizes, const int64_t* order, int64_t n,
+                           const int64_t* buckets, int64_t nb, int64_t max_tokens,
+                           int64_t batch_size, int32_t* out_batch_ids) {
+  int64_t batch = 0;
+  int64_t count = 0;
+  int64_t cur_bucket = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = bucket_of(sizes[order[i]], buckets, nb);
+    int64_t new_bucket = b > cur_bucket ? b : cur_bucket;
+    const bool over_tokens = max_tokens > 0 && (count + 1) * new_bucket > max_tokens;
+    const bool over_batch = batch_size > 0 && count + 1 > batch_size;
+    if (count > 0 && (over_tokens || over_batch || b != cur_bucket)) {
+      ++batch;
+      count = 0;
+      new_bucket = b;
+    }
+    out_batch_ids[i] = static_cast<int32_t>(batch);
+    ++count;
+    cur_bucket = new_bucket;
+  }
+  return count > 0 ? batch + 1 : batch;
+}
+
+}  // extern "C"

@@ -1,0 +1,68 @@
+"""Expert routing + pipeline parallelism on the virtual 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalvc_tpu.parallel import make_mesh
+from multimodalvc_tpu.parallel.expert import BaseMoELayer, sinkhorn_route
+from multimodalvc_tpu.parallel.pipeline import microbatch, pipeline_apply, unmicrobatch
+
+
+def test_sinkhorn_route_is_balanced(rng):
+    scores = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+    plan = sinkhorn_route(scores, n_iters=20)
+    np.testing.assert_allclose(np.asarray(plan.sum(axis=1)), np.ones(64), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(plan.sum(axis=0)), np.full(4, 16.0), atol=0.05)
+    # hard assignment is near-balanced
+    counts = np.bincount(np.asarray(plan.argmax(axis=1)), minlength=4)
+    assert counts.max() - counts.min() <= 8
+
+
+def test_moe_layer_forward_and_expert_sharding(rng):
+    mesh = make_mesh({"expert": 4, "data": 2})
+    layer = BaseMoELayer(num_experts=4, ffn_dim=32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16)).astype(np.float32))
+    vs = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(vs, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # gradient flows to expert weights
+    def loss(p):
+        return jnp.sum(layer.apply({"params": p}, x) ** 2)
+    g = jax.grad(loss)(vs["params"])
+    assert float(jnp.abs(g["experts_w1"]).sum()) > 0
+
+    # runs under jit on the mesh with expert weights sharded
+    from multimodalvc_tpu.parallel import shard_params
+
+    sharded, specs = shard_params(vs["params"], mesh)
+    out2 = jax.jit(lambda p, x: layer.apply({"params": p}, x))(sharded, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_matches_sequential(rng):
+    mesh = make_mesh({"pipeline": 4, "data": 2})
+    d = 16
+    n_stages = 4
+    w = rng.standard_normal((n_stages, d, d)).astype(np.float32) * 0.3
+    b = rng.standard_normal((n_stages, d)).astype(np.float32) * 0.1
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+    def stage_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    x = rng.standard_normal((8, 4, d)).astype(np.float32)  # [B=8*4? no: M=8, mb=4]
+    xs = jnp.asarray(x)
+    out = pipeline_apply(stage_fn, params, xs, mesh)
+
+    ref = xs
+    for s in range(n_stages):
+        ref = jnp.tanh(ref @ params["w"][s] + params["b"][s])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_microbatch_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((12, 3)).astype(np.float32))
+    mb = microbatch(x, 4)
+    assert mb.shape == (4, 3, 3)
+    np.testing.assert_array_equal(np.asarray(unmicrobatch(mb)), np.asarray(x))
