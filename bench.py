@@ -123,12 +123,9 @@ def main():
         params["llama"] = build_llama_params_bf16(cfg.llama)
     variables["params"] = params
 
-    prompt_fn = jax.jit(
-        lambda v, bt: system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
-    )
-
+    @jax.jit
     def decode(v, bt):
-        emb, mask = prompt_fn(v, bt)
+        emb, mask = system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
         llama_vars = {"params": v["params"]["llama"]}
         seqs, scores = generate_beam(
             system.llama_module,

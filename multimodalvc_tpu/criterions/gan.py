@@ -1,0 +1,193 @@
+"""E2E GAN trainer: HiFi-GAN losses over the full speech model.
+
+Reference: src/criterionSpeechE2E.py:90-279 — one fairseq criterion hiding a
+second optimizer for the discriminators; per step it (1) runs the model to a
+waveform, (2) disc step on detached audio, (3) returns the generator loss
+45*mel_L1 + feature_matching + adversarial to fairseq's optimizer.
+
+Here the whole thing is a single jit'd XLA program with two optax states
+(same shape as models/vocoder.py), the model being SpeechE2EModel whose
+frozen encoder subtrees are masked out of the generator optimizer.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config.registry import register_criterion
+from ..nn import hifigan as hg
+from ..ops.stft import hifigan_log_mel
+from .mel import compute_mcd, compute_ssim
+
+
+@dataclass
+class E2EGanConfig:
+    mel_weight: float = 45.0
+    gen_lr: float = 2e-4
+    disc_lr: float = 2e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    weight_decay: float = 1e-5
+
+
+class E2EGanState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    collections: Any  # batch_stats of the trunk
+    disc_params: Any
+    spectral: Any
+    gen_opt: Any
+    disc_opt: Any
+    rng: jnp.ndarray
+
+
+@register_criterion("e2e_gan_loss", config=E2EGanConfig)
+class E2EGanTrainer:
+    """Owns the dual-optimizer GAN step for a waveform-emitting model."""
+
+    def __init__(self, cfg: E2EGanConfig, model, frozen_mask=None):
+        """model: flax module mapping batch -> {'waveform', 'mel_lengths'};
+        frozen_mask: pytree of bools (True=train) for the generator side."""
+        self.cfg = cfg
+        self.model = model
+        self.discriminator = hg.HifiGanDiscriminator()
+        self._gen_opt = optax.adamw(
+            cfg.gen_lr, b1=cfg.betas[0], b2=cfg.betas[1], weight_decay=cfg.weight_decay
+        )
+        self._frozen_mask = frozen_mask
+        self._disc_opt = optax.adamw(
+            cfg.disc_lr, b1=cfg.betas[0], b2=cfg.betas[1], weight_decay=cfg.weight_decay
+        )
+
+    @classmethod
+    def from_config(cls, cfg, model=None, frozen_mask=None):
+        return cls(cfg, model, frozen_mask)
+
+    def init_state(self, rng, sample_batch) -> E2EGanState:
+        g_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        variables = self.model.init(g_rng, sample_batch, train=True)
+        gen_params = variables["params"]
+        collections = {k: v for k, v in variables.items() if k != "params"}
+        wav_shape = (
+            sample_batch["target_mel"].shape[0],
+            sample_batch["target_mel"].shape[1] * 160,
+            1,
+        )
+        disc_vars = self.discriminator.init(d_rng, jnp.zeros(wav_shape))
+        gen_tx = self._gen_opt
+        if self._frozen_mask is not None:
+            gen_tx = optax.multi_transform(
+                {"train": self._gen_opt, "freeze": optax.set_to_zero()},
+                jax.tree.map(lambda m: "train" if m else "freeze", self._frozen_mask),
+            )
+        self._gen_tx = gen_tx
+        return E2EGanState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            collections=collections,
+            disc_params=disc_vars["params"],
+            spectral=disc_vars.get("spectral", {}),
+            gen_opt=gen_tx.init(gen_params),
+            disc_opt=self._disc_opt.init(disc_vars["params"]),
+            rng=s_rng,
+        )
+
+    def train_step(self, state: E2EGanState, batch) -> Tuple[E2EGanState, Dict]:
+        cfg = self.cfg
+        gen_tx = getattr(self, "_gen_tx", self._gen_opt)
+        rng, step_rng = jax.random.split(state.rng)
+        gt_wav = batch["waveform"]  # [B, T, 1]
+
+        def run_model(gen_params):
+            out, mutated = self.model.apply(
+                {"params": gen_params, **state.collections},
+                batch,
+                train=True,
+                rngs={"dropout": step_rng},
+                mutable=["batch_stats"],
+            )
+            return out["waveform"], mutated
+
+        # ---- disc step on detached audio -----------------------------------
+        pred_wav, mutated = run_model(state.gen_params)
+        pred_det = jax.lax.stop_gradient(pred_wav)
+        t = min(pred_det.shape[1], gt_wav.shape[1])
+        pred_det, gt = pred_det[:, :t], gt_wav[:, :t]
+
+        def disc_loss_fn(disc_params, spectral):
+            (s_real, _), new_vars = self.discriminator.apply(
+                {"params": disc_params, "spectral": spectral},
+                gt,
+                update_sn=True,
+                mutable=["spectral"],
+            )
+            (s_fake, _), _ = self.discriminator.apply(
+                {"params": disc_params, "spectral": new_vars["spectral"]},
+                pred_det,
+                mutable=["spectral"],
+            )
+            return hg.discriminator_loss(s_real, s_fake), new_vars["spectral"]
+
+        (d_loss, new_spectral), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            state.disc_params, state.spectral
+        )
+        d_up, disc_opt = self._disc_opt.update(d_grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_up)
+
+        # ---- generator step through the updated discriminator --------------
+        def gen_loss_fn(gen_params):
+            wav, mut = run_model(gen_params)
+            wav = wav[:, :t]
+            mel_pred = hifigan_log_mel(wav[..., 0])
+            mel_gt = jax.lax.stop_gradient(hifigan_log_mel(gt[..., 0]))
+            loss_mel = jnp.mean(jnp.abs(mel_pred - mel_gt))
+            s_fake, f_fake = self.discriminator.apply(
+                {"params": disc_params, "spectral": new_spectral}, wav
+            )
+            s_real, f_real = self.discriminator.apply(
+                {"params": disc_params, "spectral": new_spectral}, gt
+            )
+            f_real = jax.lax.stop_gradient(f_real)
+            loss_fm = hg.feature_loss(f_real, f_fake)
+            loss_adv = hg.generator_adv_loss(s_fake)
+            total = cfg.mel_weight * loss_mel + loss_fm + loss_adv
+            return total, (mut, {"loss_mel": loss_mel, "loss_fm": loss_fm, "loss_adv": loss_adv})
+
+        (g_loss, (mutated, aux)), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        g_up, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_up)
+
+        new_colls = dict(state.collections)
+        new_colls.update(mutated)
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            collections=new_colls,
+            disc_params=disc_params,
+            spectral=new_spectral,
+            gen_opt=gen_opt,
+            disc_opt=disc_opt,
+            rng=rng,
+        )
+        return new_state, {"loss_gen": g_loss, "loss_disc": d_loss, **aux}
+
+    def valid_step(self, state: E2EGanState, batch) -> Dict[str, jnp.ndarray]:
+        out = self.model.apply(
+            {"params": state.gen_params, **state.collections}, batch, train=False
+        )
+        wav = out["waveform"]
+        gt = batch["waveform"]
+        t = min(wav.shape[1], gt.shape[1])
+        mel_pred = hifigan_log_mel(wav[:, :t, 0])
+        mel_gt = hifigan_log_mel(gt[:, :t, 0])
+        return {
+            "mel_l1": jnp.mean(jnp.abs(mel_pred - mel_gt)),
+            "mcd": compute_mcd(mel_pred, mel_gt),
+            "ssim": compute_ssim(mel_pred, mel_gt),
+        }

@@ -317,6 +317,7 @@ class AVSRSystem:
         self.cfg = cfg
         self.module = AVSRModel(cfg)
         self.llama_module = LlamaModel(cfg.llama)
+        self._gen_cache = {}
 
     @classmethod
     def from_config(cls, cfg):
@@ -367,20 +368,39 @@ class AVSRSystem:
         length_penalty: float = 1.0,
         cache_dtype=jnp.bfloat16,
     ):
-        """Beam-search transcription (reference: src/model.py:371-487)."""
-        emb, attn_mask = self.module.apply(
-            variables, batch, method=AVSRModel.prompt_for_generation
+        """Beam-search transcription (reference: src/model.py:371-487).
+
+        The entire pipeline — encoders, prompt assembly, prefill, and the
+        while-loop decode — jits into ONE XLA program (cached per decode
+        config), so a transcription is a single device dispatch.
+        """
+        key = (
+            num_beams,
+            max_new_tokens,
+            length_penalty,
+            jnp.dtype(cache_dtype).name,
+            self.cfg.eos_token_id,
+            self.cfg.pad_token_id,
         )
-        llama_vars = {"params": variables["params"]["llama"]}
-        return generate_beam(
-            self.llama_module,
-            llama_vars,
-            emb,
-            attn_mask,
-            eos_token_id=self.cfg.eos_token_id,
-            pad_token_id=self.cfg.pad_token_id,
-            num_beams=num_beams,
-            max_new_tokens=max_new_tokens,
-            length_penalty=length_penalty,
-            cache_dtype=cache_dtype,
-        )
+        if key not in self._gen_cache:
+
+            def _gen(variables, batch):
+                emb, attn_mask = self.module.apply(
+                    variables, batch, method=AVSRModel.prompt_for_generation
+                )
+                llama_vars = {"params": variables["params"]["llama"]}
+                return generate_beam(
+                    self.llama_module,
+                    llama_vars,
+                    emb,
+                    attn_mask,
+                    eos_token_id=self.cfg.eos_token_id,
+                    pad_token_id=self.cfg.pad_token_id,
+                    num_beams=num_beams,
+                    max_new_tokens=max_new_tokens,
+                    length_penalty=length_penalty,
+                    cache_dtype=cache_dtype,
+                )
+
+            self._gen_cache[key] = jax.jit(_gen)
+        return self._gen_cache[key](variables, batch)

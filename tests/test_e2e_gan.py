@@ -1,0 +1,54 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalvc_tpu.criterions.gan import E2EGanConfig, E2EGanTrainer
+from multimodalvc_tpu.models.speech import SpeechConfig, SpeechE2EModel
+from multimodalvc_tpu.nn.hifigan import HifiGanConfig
+from multimodalvc_tpu.runtime.trainer import trainable_mask
+
+from tests.test_speech_models import make_batch
+
+
+def test_e2e_gan_step(rng):
+    cfg = SpeechConfig.tiny()
+    cfg.max_mel_frames = 20  # keep waveforms small on CPU
+    voc = HifiGanConfig(
+        in_channels=cfg.head_dim,
+        upsample_initial_channel=32,
+        upsample_factors=(10, 4, 2, 2),
+        upsample_kernel_sizes=(20, 8, 4, 4),
+        resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3, 5),),
+    )
+    model = SpeechE2EModel(cfg, voc)
+    batch = make_batch(rng, cfg)
+    batch["waveform"] = jnp.asarray(
+        (rng.standard_normal((2, cfg.max_mel_frames * 160, 1)) * 0.1).astype(np.float32)
+    )
+    trainer = E2EGanTrainer(E2EGanConfig(), model)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    # freeze the frozen-encoder subtrees like the stage-1 recipe
+    mask = trainable_mask(
+        state.gen_params,
+        [r"trunk/encoder/whisper/", r"trunk/encoder/avhubert/", r"trunk/encoder/sr_predictor/"],
+    )
+    trainer2 = E2EGanTrainer(E2EGanConfig(), model, frozen_mask=mask)
+    state = trainer2.init_state(jax.random.PRNGKey(0), batch)
+
+    step = jax.jit(trainer2.train_step)
+    w0 = jax.tree.map(np.asarray, state.gen_params["trunk"]["encoder"]["whisper"])
+    new_state, metrics = step(state, batch)
+    for k in ("loss_gen", "loss_disc", "loss_mel", "loss_fm", "loss_adv"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+    # frozen whisper untouched, vocoder generator moved
+    w1 = jax.device_get(new_state.gen_params["trunk"]["encoder"]["whisper"])
+    assert max(jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), w0, w1))) == 0.0
+    g0 = np.asarray(state.gen_params["generator"]["conv_pre"]["v"])
+    g1 = np.asarray(new_state.gen_params["generator"]["conv_pre"]["v"])
+    assert np.abs(g0 - g1).max() > 0
+
+    vm = jax.jit(trainer2.valid_step)(new_state, batch)
+    assert np.isfinite(float(vm["mel_l1"])) and np.isfinite(float(vm["mcd"]))
