@@ -1,0 +1,193 @@
+"""Manifest tooling: generate / split / count-hours / normalize-rates.
+
+Reference analogs: src/germanManifest-generator.py (parallel tsv+wrd
+builder with frames/samples/speech-rate), src/splitDataset.py,
+src/countHours.py, manifest/germanManifest/normalize_rates.py,
+manifest/update_dataset_paths.py.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _clip_metadata(video_path: str, text_dir_name: Optional[str], video_dir_name: str):
+    """(tsv_line, transcript) for one clip; None on failure."""
+    from scipy.io import wavfile
+
+    wav_path = os.path.splitext(video_path)[0] + ".wav"
+    if not os.path.exists(wav_path):
+        return None
+    sr, data = wavfile.read(wav_path)  # header+data; scipy lacks info-only
+    n_aud = data.shape[0]
+    if video_path.endswith(".npy"):
+        n_vid = int(np.load(video_path, mmap_mode="r").shape[0])
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        n_vid = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+    text = ""
+    if text_dir_name:
+        txt_path = video_path.replace(video_dir_name, text_dir_name)
+        txt_path = os.path.splitext(txt_path)[0] + ".txt"
+        if not os.path.exists(txt_path):
+            return None
+        with open(txt_path, encoding="utf-8") as f:
+            text = f.read().strip().lower()
+        if not text:
+            return None
+    duration = n_aud / 16000.0
+    rate = round(len(text.split()) / duration, 2) if (text and duration > 0) else 0.0
+    line = f"dataset\t{video_path}\t{wav_path}\t{n_vid}\t{n_aud}\t{rate}"
+    return line, text
+
+
+def cmd_generate(args):
+    video_root = os.path.join(args.root, args.video_dir)
+    patterns = ("*.mp4", "*.npy")
+    files: List[str] = []
+    for p in patterns:
+        files += glob.glob(os.path.join(video_root, "**", p), recursive=True)
+    files.sort()
+    print(f"processing {len(files)} clips with {args.workers} workers")
+    with ThreadPoolExecutor(args.workers) as pool:
+        results = list(
+            pool.map(lambda f: _clip_metadata(f, args.text_dir, args.video_dir), files)
+        )
+    valid = [r for r in results if r is not None]
+    with open(args.out_tsv, "w", encoding="utf-8") as f:
+        f.write("/\n")
+        for line, _ in valid:
+            f.write(line + "\n")
+    if args.text_dir:
+        with open(os.path.splitext(args.out_tsv)[0] + ".wrd", "w", encoding="utf-8") as f:
+            for _, text in valid:
+                f.write(text + "\n")
+    print(f"wrote {len(valid)} entries -> {args.out_tsv}")
+
+
+def cmd_split(args):
+    """Split a tsv(+wrd) into train/valid/test (src/splitDataset.py:4-93)."""
+    with open(args.tsv) as f:
+        root = f.readline()
+        rows = f.readlines()
+    wrd_path = os.path.splitext(args.tsv)[0] + ".wrd"
+    labels = None
+    if os.path.exists(wrd_path):
+        with open(wrd_path) as f:
+            labels = f.readlines()
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(rows))
+    n_valid = int(len(rows) * args.valid_frac)
+    n_test = int(len(rows) * args.test_frac)
+    splits = {
+        "valid": order[:n_valid],
+        "test": order[n_valid : n_valid + n_test],
+        "train": order[n_valid + n_test :],
+    }
+    for name, idx in splits.items():
+        with open(os.path.join(args.out_dir, f"{name}.tsv"), "w") as f:
+            f.write(root)
+            for i in sorted(idx):
+                f.write(rows[i])
+        if labels:
+            with open(os.path.join(args.out_dir, f"{name}.wrd"), "w") as f:
+                for i in sorted(idx):
+                    f.write(labels[i])
+        print(f"{name}: {len(idx)}")
+
+
+def cmd_hours(args):
+    """Total audio hours in a manifest (src/countHours.py:1-39)."""
+    total = 0
+    with open(args.tsv) as f:
+        f.readline()
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 5:
+                total += int(parts[4])
+    secs = total / 16000.0
+    print(f"total samples: {total}\ntotal seconds: {secs:.2f}\ntotal hours: {secs / 3600:.2f}")
+
+
+def cmd_normalize_rates(args):
+    """Clamp/standardize the speech-rate column to a target band
+    (manifest/germanManifest/normalize_rates.py)."""
+    with open(args.tsv) as f:
+        root = f.readline()
+        rows = [ln.rstrip("\n").split("\t") for ln in f]
+    rates = np.asarray([float(r[5]) if len(r) > 5 and r[5] else 0.0 for r in rows])
+    valid = rates > 0
+    mean = rates[valid].mean() if valid.any() else 1.0
+    # map absolute words/sec onto the SR predictor's [1, 2] factor band
+    norm = np.clip(rates / max(mean, 1e-6), args.min_rate, args.max_rate)
+    out = args.out or args.tsv
+    with open(out, "w") as f:
+        f.write(root)
+        for r, nr in zip(rows, norm):
+            r = r[:5] + [f"{nr:.2f}"]
+            f.write("\t".join(r) + "\n")
+    print(f"normalized {len(rows)} rates (mean raw={mean:.2f}) -> {out}")
+
+
+def cmd_update_paths(args):
+    """Rewrite a path prefix in manifests (manifest/update_dataset_paths.py)."""
+    with open(args.tsv) as f:
+        content = f.read()
+    content = content.replace(args.old, args.new)
+    with open(args.out or args.tsv, "w") as f:
+        f.write(content)
+    print("updated paths")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--root", required=True)
+    g.add_argument("--video-dir", default="video")
+    g.add_argument("--text-dir", default=None)
+    g.add_argument("--out-tsv", required=True)
+    g.add_argument("--workers", type=int, default=8)
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("split")
+    s.add_argument("--tsv", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--valid-frac", type=float, default=0.05)
+    s.add_argument("--test-frac", type=float, default=0.05)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_split)
+
+    h = sub.add_parser("hours")
+    h.add_argument("--tsv", required=True)
+    h.set_defaults(fn=cmd_hours)
+
+    n = sub.add_parser("normalize-rates")
+    n.add_argument("--tsv", required=True)
+    n.add_argument("--out", default=None)
+    n.add_argument("--min-rate", type=float, default=1.0)
+    n.add_argument("--max-rate", type=float, default=2.0)
+    n.set_defaults(fn=cmd_normalize_rates)
+
+    u = sub.add_parser("update-paths")
+    u.add_argument("--tsv", required=True)
+    u.add_argument("--old", required=True)
+    u.add_argument("--new", required=True)
+    u.add_argument("--out", default=None)
+    u.set_defaults(fn=cmd_update_paths)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mtools")
+    return make_corpus(str(root))
+
+
+def run_tool(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.manifest_tools", *args],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def test_hours(corpus):
+    root, _ = corpus
+    r = run_tool("hours", "--tsv", f"{root}/train.tsv")
+    assert r.returncode == 0, r.stderr
+    assert "total hours" in r.stdout
+
+
+def test_split(corpus, tmp_path):
+    root, _ = corpus
+    out = tmp_path / "splits"
+    out.mkdir()
+    r = run_tool(
+        "split", "--tsv", f"{root}/train.tsv", "--out-dir", str(out),
+        "--valid-frac", "0.2", "--test-frac", "0.2",
+    )
+    assert r.returncode == 0, r.stderr
+    lens = {}
+    for name in ("train", "valid", "test"):
+        with open(out / f"{name}.tsv") as f:
+            lens[name] = len(f.readlines()) - 1
+        assert os.path.exists(out / f"{name}.wrd")
+    assert sum(lens.values()) == 6
+    assert lens["valid"] == 1 and lens["test"] == 1
+
+
+def test_normalize_rates(corpus, tmp_path):
+    root, _ = corpus
+    out = tmp_path / "norm.tsv"
+    r = run_tool("normalize-rates", "--tsv", f"{root}/train.tsv", "--out", str(out))
+    assert r.returncode == 0, r.stderr
+    with open(out) as f:
+        f.readline()
+        rates = [float(ln.split("\t")[5]) for ln in f]
+    assert all(1.0 <= x <= 2.0 for x in rates)
+
+
+def test_generate_manifest(tmp_path):
+    # build a mini corpus layout: video/*.npy + side-by-side wavs + text/
+    from scipy.io import wavfile
+
+    vd = tmp_path / "video"
+    td = tmp_path / "text"
+    vd.mkdir()
+    td.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.save(vd / f"c{i}.npy", rng.integers(0, 255, (20, 32, 32), dtype=np.uint8))
+        wav = (rng.standard_normal(12800) * 0.05).astype(np.float32)
+        wavfile.write(vd / f"c{i}.wav", 16000, (wav * 32767).astype(np.int16))
+        (td / f"c{i}.txt").write_text("hallo welt test")
+    out_tsv = tmp_path / "all.tsv"
+    r = run_tool(
+        "generate", "--root", str(tmp_path), "--video-dir", "video",
+        "--text-dir", "text", "--out-tsv", str(out_tsv), "--workers", "2",
+    )
+    assert r.returncode == 0, r.stderr
+    with open(out_tsv) as f:
+        lines = f.readlines()
+    assert len(lines) == 4  # root + 3 entries
+    parts = lines[1].split("\t")
+    assert int(parts[3]) == 20 and int(parts[4]) == 12800
+    assert os.path.exists(tmp_path / "all.wrd")
+
+
+def test_update_paths(corpus, tmp_path):
+    root, _ = corpus
+    out = tmp_path / "upd.tsv"
+    r = run_tool("update-paths", "--tsv", f"{root}/train.tsv", "--old", "data/", "--new", "DATA/", "--out", str(out))
+    assert r.returncode == 0, r.stderr
+    assert "DATA/clip0.npy" in open(out).read()
