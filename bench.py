@@ -145,10 +145,22 @@ def main():
     decode(variables, batch).block_until_ready()
     compile_s = time.perf_counter() - t0
 
+    # distinct inputs per repeat: the remote-execution layer caches results
+    # for bit-identical inputs, which would fake sub-ms walls
+    import jax as _jax
+
+    batches = []
+    for r in range(args.repeats):
+        b2 = dict(batch)
+        b2["audio_feats"] = batch["audio_feats"] + 0.001 * (r + 1)
+        b2["video"] = batch["video"] + 0.001 * (r + 1)
+        batches.append(b2)
+    for b2 in batches:
+        _jax.tree.map(lambda x: x.block_until_ready(), b2)
     times = []
-    for _ in range(args.repeats):
+    for b2 in batches:
         t0 = time.perf_counter()
-        decode(variables, batch).block_until_ready()
+        decode(variables, b2).block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = min(times)
     audio_seconds = b * (t_v / 25.0)
