@@ -51,6 +51,8 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.mmvc_edit_distance_batch.restype = ctypes.c_int64
     lib.mmvc_batch_by_size.restype = ctypes.c_int64
+    if hasattr(lib, "mmvc_bleu_counts"):
+        lib.mmvc_bleu_counts.restype = None
     _lib = lib
     return lib
 
@@ -150,6 +152,73 @@ def _balanced_assignment_py(scores: np.ndarray) -> np.ndarray:
         assigned[j] = w
         load[w] += 1
     return assigned
+
+
+def bleu_counts(
+    sys_ids: Sequence[int], ref_ids: Sequence[int], max_order: int = 4
+) -> tuple:
+    """Clipped n-gram (matches, totals) per order for one sentence pair.
+    Native-equivalent of the reference's libbleu counter
+    (fairseq/fairseq/clib/libbleu/libbleu.cpp)."""
+    s = np.ascontiguousarray(sys_ids, dtype=np.int32)
+    r = np.ascontiguousarray(ref_ids, dtype=np.int32)
+    lib = _load()
+    if lib is not None:
+        matches = np.zeros(max_order, dtype=np.int64)
+        totals = np.zeros(max_order, dtype=np.int64)
+        lib.mmvc_bleu_counts(
+            _i32ptr(s), ctypes.c_int64(len(s)),
+            _i32ptr(r), ctypes.c_int64(len(r)),
+            ctypes.c_int64(max_order),
+            _i64ptr(matches), _i64ptr(totals),
+        )
+        return matches, totals
+    # Python fallback
+    from collections import Counter
+
+    matches = np.zeros(max_order, dtype=np.int64)
+    totals = np.zeros(max_order, dtype=np.int64)
+    for n in range(1, max_order + 1):
+        sys_ng = [tuple(s[i : i + n]) for i in range(len(s) - n + 1)]
+        ref_ng = Counter(tuple(r[i : i + n]) for i in range(len(r) - n + 1))
+        totals[n - 1] = len(sys_ng)
+        clipped = Counter(sys_ng) & ref_ng
+        matches[n - 1] = sum(clipped.values())
+    return matches, totals
+
+
+class BleuScorer:
+    """Corpus BLEU accumulator (reference: fairseq/fairseq/scoring/bleu.py
+    over libbleu counts)."""
+
+    def __init__(self, max_order: int = 4):
+        self.max_order = max_order
+        self.matches = np.zeros(max_order, dtype=np.int64)
+        self.totals = np.zeros(max_order, dtype=np.int64)
+        self.sys_len = 0
+        self.ref_len = 0
+
+    def add(self, sys_ids: Sequence[int], ref_ids: Sequence[int]) -> None:
+        m, t = bleu_counts(sys_ids, ref_ids, self.max_order)
+        self.matches += m
+        self.totals += t
+        self.sys_len += len(sys_ids)
+        self.ref_len += len(ref_ids)
+
+    def score(self) -> float:
+        """BLEU-4 in percent with brevity penalty (smoothed against /0)."""
+        import math
+
+        if self.sys_len == 0:
+            return 0.0
+        logs = 0.0
+        for m, t in zip(self.matches, self.totals):
+            p = m / t if t > 0 else 0.0
+            logs += math.log(p) if p > 0 else float("-inf")
+        if logs == float("-inf"):
+            return 0.0
+        bp = min(1.0, math.exp(1.0 - self.ref_len / max(self.sys_len, 1)))
+        return 100.0 * bp * math.exp(logs / self.max_order)
 
 
 def ngram_banned_tokens(tokens: np.ndarray, ngram: int, max_banned: int = 64) -> List[List[int]]:

@@ -37,12 +37,16 @@ class CheckpointManager:
         maximize: bool = False,
         keep_best: int = 1,
         async_save: bool = True,
+        save_interval_updates: int = 0,
+        keep_interval_updates: int = -1,
     ):
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
         self.best_metric = best_metric
         self.maximize = maximize
         self.keep_best = keep_best
+        self.save_interval_updates = save_interval_updates
+        self.keep_interval_updates = keep_interval_updates
         self.best_value: Optional[float] = None
         self._ckptr = (
             ocp.PyTreeCheckpointer() if _HAVE_ORBAX else None
@@ -76,6 +80,9 @@ class CheckpointManager:
                 self.best_value = v
                 self._write(tree, "checkpoint_best")
                 improved = True
+        if self.save_interval_updates and step % self.save_interval_updates == 0:
+            self._write(tree, f"checkpoint_{step}")
+            self._prune_interval()
         meta = {
             "step": step,
             "best_value": self.best_value,
@@ -87,6 +94,20 @@ class CheckpointManager:
         logger.info(
             "saved checkpoint step=%d%s", step, " (new best)" if improved else ""
         )
+
+    def _prune_interval(self) -> None:
+        """Delete all but the newest `keep_interval_updates` step checkpoints
+        (reference: fairseq/fairseq/checkpoint_utils.py:138-178 keep-N)."""
+        if self.keep_interval_updates < 0:
+            return
+        rx = re.compile(r"^checkpoint_(\d+)$")
+        steps = sorted(
+            int(m.group(1))
+            for m in (rx.match(n) for n in os.listdir(self.save_dir))
+            if m
+        )
+        for s in steps[: max(0, len(steps) - self.keep_interval_updates)]:
+            shutil.rmtree(self._path(f"checkpoint_{s}"), ignore_errors=True)
 
     def _write(self, tree: Any, name: str) -> None:
         path = self._path(name)
@@ -108,7 +129,10 @@ class CheckpointManager:
         if self._ckptr is not None:
             tree = jax.tree.map(np.asarray, jax.device_get(template))
             return self._ckptr.restore(path, item=tree)
-        raise RuntimeError("orbax unavailable and numpy restore not implemented")
+        npz = np.load(os.path.join(path, "arrays.npz"))
+        flat = [npz[k] for k in npz.files]
+        treedef = jax.tree_util.tree_structure(template)
+        return jax.tree_util.tree_unflatten(treedef, flat)
 
     @property
     def meta(self) -> Dict[str, Any]:

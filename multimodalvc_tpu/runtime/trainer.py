@@ -88,6 +88,44 @@ def build_optimizer(
             decay_lr = opt_cfg.lr * jnp.sqrt(warm / step)
             return jnp.where(step < warm, warm_lr, decay_lr)
 
+    elif opt_cfg.lr_scheduler == "tri_stage":
+        # warmup -> hold -> exponential decay (reference:
+        # fairseq/fairseq/optim/lr_scheduler/tri_stage_lr_scheduler.py)
+        total = max(opt_cfg.max_update, 1)
+        warm = max(opt_cfg.warmup_updates, 1)
+        hold = max(int(0.4 * total) - warm, 0)
+        decay = max(total - warm - hold, 1)
+        final_scale = max(opt_cfg.min_lr / max(opt_cfg.lr, 1e-12), 1e-8)
+
+        def schedule(step):
+            step = jnp.asarray(step, jnp.float32)
+            warm_lr = opt_cfg.lr * step / warm
+            hold_lr = jnp.asarray(opt_cfg.lr, jnp.float32)
+            frac = jnp.clip((step - warm - hold) / decay, 0.0, 1.0)
+            decay_lr = opt_cfg.lr * jnp.exp(jnp.log(final_scale) * frac)
+            return jnp.where(step < warm, warm_lr, jnp.where(step < warm + hold, hold_lr, decay_lr))
+
+    elif opt_cfg.lr_scheduler == "polynomial":
+        schedule = optax.polynomial_schedule(
+            init_value=0.0 if opt_cfg.warmup_updates else opt_cfg.lr,
+            end_value=opt_cfg.min_lr,
+            power=1.0,
+            transition_steps=max(opt_cfg.max_update, 1),
+            transition_begin=opt_cfg.warmup_updates,
+        )
+        if opt_cfg.warmup_updates:
+            schedule = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, opt_cfg.lr, opt_cfg.warmup_updates),
+                    optax.polynomial_schedule(
+                        init_value=opt_cfg.lr,
+                        end_value=opt_cfg.min_lr,
+                        power=1.0,
+                        transition_steps=max(opt_cfg.max_update - opt_cfg.warmup_updates, 1),
+                    ),
+                ],
+                [opt_cfg.warmup_updates],
+            )
     elif opt_cfg.lr_scheduler == "fixed":
         schedule = optax.constant_schedule(opt_cfg.lr)
     else:
@@ -107,6 +145,19 @@ def build_optimizer(
         )
     elif opt_cfg.optimizer == "adafactor":
         base = optax.adafactor(schedule)
+    elif opt_cfg.optimizer == "lamb":
+        base = optax.lamb(
+            schedule, b1=opt_cfg.adam_betas[0], b2=opt_cfg.adam_betas[1],
+            eps=opt_cfg.adam_eps, weight_decay=opt_cfg.weight_decay,
+        )
+    elif opt_cfg.optimizer == "adagrad":
+        base = optax.adagrad(schedule)
+    elif opt_cfg.optimizer == "adamax":
+        base = optax.adamax(
+            schedule, b1=opt_cfg.adam_betas[0], b2=opt_cfg.adam_betas[1], eps=opt_cfg.adam_eps
+        )
+    elif opt_cfg.optimizer == "nag":
+        base = optax.sgd(schedule, momentum=0.99, nesterov=True)
     elif opt_cfg.optimizer == "sgd":
         base = optax.sgd(schedule)
     else:

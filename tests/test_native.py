@@ -61,3 +61,28 @@ def test_ngram_banned_tokens(lib):
     finally:
         native._lib, native._build_failed = saved, False
     assert [sorted(b) for b in py_bans] == [sorted(b) for b in lib_bans]
+
+
+def test_bleu_counts_native_matches_fallback(lib, rng):
+    for _ in range(10):
+        s = rng.integers(0, 6, rng.integers(1, 25)).tolist()
+        r = rng.integers(0, 6, rng.integers(1, 25)).tolist()
+        m, t = native.bleu_counts(s, r)
+        native._lib, saved = None, native._lib
+        native._build_failed = True
+        try:
+            m2, t2 = native.bleu_counts(s, r)
+        finally:
+            native._lib, native._build_failed = saved, False
+        np.testing.assert_array_equal(m, m2)
+        np.testing.assert_array_equal(t, t2)
+
+
+def test_bleu_scorer(lib):
+    sc = native.BleuScorer()
+    sc.add([1, 2, 3, 4, 5], [1, 2, 3, 4, 5])
+    assert abs(sc.score() - 100.0) < 1e-6
+    sc.add([9, 9, 9, 9], [1, 2, 3, 4])
+    assert 0.0 < sc.score() < 100.0
+    empty = native.BleuScorer()
+    assert empty.score() == 0.0

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalvc_tpu.config.configs import OptimizationConfig
 from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRSystem
@@ -100,3 +101,47 @@ def test_filter_frozen_strips_subtrees():
     assert "whisper" not in out["encoder"]
     assert "qformer" in out["encoder"]
     assert "base" not in out["llama"]["q"] and "lora_a" in out["llama"]["q"]
+
+
+@pytest.mark.parametrize("sched", ["tri_stage", "polynomial", "inverse_sqrt", "cosine", "fixed"])
+@pytest.mark.parametrize("opt", ["adamw", "lamb", "nag", "adamax", "adagrad"])
+def test_optimizer_scheduler_matrix(sched, opt):
+    """Every (optimizer, scheduler) pair builds and takes a finite step."""
+    import optax
+
+    from multimodalvc_tpu.config.configs import OptimizationConfig
+    from multimodalvc_tpu.runtime.trainer import build_optimizer
+
+    cfg = OptimizationConfig(
+        optimizer=opt, lr_scheduler=sched, lr=1e-3, warmup_updates=5, max_update=100
+    )
+    params = {"w": jnp.ones((4, 4)), "frozen": {"w": jnp.ones((2,))}}
+    tx, mask = build_optimizer(cfg, params, frozen_patterns=["frozen"])
+    assert mask["w"] and not mask["frozen"]["w"]
+    state = tx.init(params)
+    grads = {"w": jnp.full((4, 4), 0.1), "frozen": {"w": jnp.full((2,), 0.1)}}
+    for _ in range(8):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(params["w"])).all()
+    assert not np.allclose(np.asarray(params["w"]), 1.0)  # trainable moved
+    np.testing.assert_array_equal(np.asarray(params["frozen"]["w"]), 1.0)  # frozen didn't
+
+
+def test_checkpoint_interval_keep_n(tmp_path):
+    import os
+
+    from multimodalvc_tpu.runtime.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(
+        str(tmp_path), save_interval_updates=10, keep_interval_updates=2
+    )
+    state = {"w": np.ones(3)}
+    for step in (10, 20, 30, 40):
+        ckpt.save(state, step, val_metrics={"loss": 1.0 / step})
+    names = set(os.listdir(tmp_path))
+    assert "checkpoint_30" in names and "checkpoint_40" in names
+    assert "checkpoint_10" not in names and "checkpoint_20" not in names
+    assert "checkpoint_best" in names and "checkpoint_last" in names
+    restored = ckpt.restore({"w": np.zeros(3)}, "checkpoint_last")
+    np.testing.assert_array_equal(restored["w"], np.ones(3))
