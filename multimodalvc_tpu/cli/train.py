@@ -94,9 +94,11 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
     )
     task = build_task(cfg)
 
-    # vocoder GAN training has its own dual-optimizer loop
+    # GAN training (vocoder / E2E) has its own dual-optimizer loop
     if type(task).__name__ == "VocoderTask":
         return _vocoder_loop(cfg, task, mesh)
+    if type(task).__name__ == "E2EGanTask":
+        return _e2e_gan_loop(cfg, task, mesh)
 
     train_ds = task.load_dataset(cfg.dataset.train_subset)
     valid_ds = task.load_dataset(cfg.dataset.valid_subset)
@@ -177,6 +179,60 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
                 if patience_left <= 0:
                     logger.info("early stopping (patience exhausted)")
                     stop = True
+        if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
+            stop = True
+    return last_val
+
+
+def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
+    """Dual-optimizer loop for the E2E waveform model (reference criterion
+    e2e_gan_loss, src/criterionSpeechE2E.py:124-215 — disc step then gen
+    step, here one jit'd program per step)."""
+    train_ds = task.load_dataset(cfg.dataset.train_subset)
+    valid_ds = task.load_dataset(cfg.dataset.valid_subset)
+    bsz = cfg.dataset.batch_size or 4
+    sample_idx = train_ds.batches(batch_size=bsz, max_tokens=cfg.dataset.max_tokens)[0]
+    sample_batch = task.prepare_batch(
+        train_ds.collate([train_ds[int(i)] for i in sample_idx])
+    )
+    trainer, state = task.make_trainer(jax.random.PRNGKey(cfg.common.seed), sample_batch)
+    step_fn = jax.jit(trainer.train_step)
+    valid_fn = jax.jit(trainer.valid_step)
+    ckpt = CheckpointManager(
+        cfg.checkpoint.save_dir,
+        best_metric="mel_l1",
+        save_interval_updates=cfg.checkpoint.save_interval_updates,
+        keep_interval_updates=cfg.checkpoint.keep_last_epochs,
+    )
+    agg = MetricsAggregator()
+    epoch, stop = 0, False
+    last_val: Dict[str, float] = {}
+    while not stop:
+        epoch += 1
+        batches = train_ds.batches(batch_size=bsz, max_tokens=cfg.dataset.max_tokens)
+        for raw in PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers):
+            state, metrics = step_fn(state, task.prepare_batch(raw))
+            agg.update({k: float(v) for k, v in metrics.items()})
+            if int(state.step) % cfg.common.log_interval == 0:
+                log_stats(agg.snapshot(), int(state.step), "train", cfg.common.log_format)
+                agg.reset()
+            if cfg.optimization.max_update and int(state.step) >= cfg.optimization.max_update:
+                stop = True
+                break
+        val_agg = MetricsAggregator()
+        for raw in PrefetchLoader(
+            valid_ds, valid_ds.batches(batch_size=bsz, max_tokens=cfg.dataset.max_tokens)
+        ):
+            val_agg.update(
+                {k: float(v) for k, v in valid_fn(state, task.prepare_batch(raw)).items()}
+            )
+        last_val = val_agg.snapshot()
+        log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
+        ckpt.save(
+            {"gen_params": state.gen_params, "disc_params": state.disc_params},
+            int(state.step),
+            val_metrics=last_val,
+        )
         if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
             stop = True
     return last_val

@@ -266,3 +266,93 @@ class VocoderTask:
             "mel": batch["target_mel"][:, :n_mel],
             "wav": batch["waveform"][:, :seg],
         }
+
+
+@dataclass
+class E2EGanTaskConfig(SpeechTaskConfig):
+    stage1_freeze: bool = True  # freeze the trunk encoders (stage-1 recipe,
+    # src/modelSpeechNoLLM_E2E.py:144-159 freeze-by-prefix list)
+    gen_lr: float = 2e-4
+    disc_lr: float = 2e-4
+    vocoder_initial_channels: int = 512
+    vocoder_resblock_kernels: tuple = (3, 7, 11)
+
+
+@register_task("e2e_gan_training", config=E2EGanTaskConfig)
+class E2EGanTask:
+    """E2E waveform fine-tuning with the HiFi-GAN dual-optimizer loop
+    (reference: scripts/fineTuneSpeechNoLLM_E2E.sh -> criterion e2e_gan_loss,
+    src/criterionSpeechE2E.py:90-279)."""
+
+    def __init__(self, cfg: E2EGanTaskConfig, model_cfg: Optional[SpeechConfig] = None):
+        from .criterions.gan import E2EGanConfig, E2EGanTrainer
+
+        from .nn.hifigan import HifiGanConfig
+
+        self.cfg = cfg
+        self.model_cfg = model_cfg or SpeechConfig()
+        self.model_cfg.modality_dropout = True
+        nk = len(cfg.vocoder_resblock_kernels)
+        voc = HifiGanConfig(
+            in_channels=self.model_cfg.head_dim,
+            upsample_initial_channel=cfg.vocoder_initial_channels,
+            resblock_kernel_sizes=tuple(cfg.vocoder_resblock_kernels),
+            resblock_dilations=((1, 3, 5),) * nk,
+        )
+        self.model = SpeechE2EModel(self.model_cfg, voc)
+        self._gan_cfg = E2EGanConfig(gen_lr=cfg.gen_lr, disc_lr=cfg.disc_lr)
+        self._trainer_cls = E2EGanTrainer
+        self._mode_rng = np.random.default_rng(7)
+
+    @classmethod
+    def from_config(cls, cfg, model_cfg=None):
+        return cls(cfg, model_cfg)
+
+    def frozen_patterns(self) -> List[str]:
+        if not self.cfg.stage1_freeze:
+            return [r"trunk/encoder/whisper/", r"trunk/encoder/avhubert/",
+                    r"trunk/encoder/sr_predictor/"]
+        # stage 1: train only the vocoder generator + adapter
+        return [r"^trunk/"]
+
+    def make_trainer(self, rng, sample_batch):
+        """Build the dual-optimizer GAN trainer with the stage's frozen mask."""
+        from .runtime.trainer import trainable_mask
+
+        trainer = self._trainer_cls(self._gan_cfg, self.model)
+        state = trainer.init_state(rng, sample_batch)
+        mask = trainable_mask(state.gen_params, self.frozen_patterns())
+        trainer = self._trainer_cls(self._gan_cfg, self.model, frozen_mask=mask)
+        state = trainer.init_state(rng, sample_batch)
+        return trainer, state
+
+    def load_dataset(self, subset: str) -> AVSRDataset:
+        c = self.cfg
+        return AVSRDataset(
+            AVSRDatasetConfig(
+                manifest_dir=c.data,
+                subset=subset,
+                modalities=c.modalities,
+                max_video_frames=c.max_video_frames,
+                length_buckets=tuple(c.length_buckets),
+                with_text_labels=False,
+                with_mel_targets=True,
+                with_waveform=True,
+                max_mel_frames=c.max_mel_frames,
+            )
+        )
+
+    def prepare_batch(self, batch):
+        batch = _trim_audio_feats(dict(batch), self.model_cfg.whisper.max_frames)
+        keys = (
+            "video", "video_lengths", "audio_feats", "audio_lengths",
+            "target_mel", "target_mel_lengths", "waveform",
+        )
+        out = {k: batch[k] for k in keys if k in batch}
+        mode = self._mode_rng.choice(
+            3,
+            p=[self.cfg.p_modality_av, self.cfg.p_modality_video_only,
+               self.cfg.p_modality_audio_only],
+        )
+        out["modality_mode"] = np.asarray(mode, np.int32)
+        return out

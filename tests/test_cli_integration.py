@@ -69,3 +69,29 @@ def test_cli_train_then_eval(corpus, tmp_path):
     files = os.listdir(tmp_path / "results")
     assert any(f.startswith("hypo-") for f in files)
     assert any(f.startswith("wer.") for f in files)
+
+
+def test_cli_e2e_gan_train(corpus, tmp_path):
+    """E2E waveform GAN fine-tune through the CLI on the synthetic corpus."""
+    root, _ = corpus
+    save_dir = str(tmp_path / "ckpt_e2e")
+    tree = {
+        "common": {"log_interval": 1},
+        "mesh": {"data": -1},
+        "dataset": {"data": root, "batch_size": 2, "num_workers": 0},
+        "optimization": {"max_update": 2, "max_epoch": 1},
+        "checkpoint": {"save_dir": save_dir},
+        "task": {
+            "name": "e2e_gan_training",
+            "max_video_frames": 16,
+            "length_buckets": [16],
+            "max_mel_frames": 32,
+            "vocoder_initial_channels": 16,
+            "vocoder_resblock_kernels": [3],
+        },
+        "model": {"name": "mms_speech_nollm_e2e", "preset": "tiny"},
+    }
+    cfg = from_dict(TrainRootConfig, tree)
+    val = train_main(cfg)
+    assert "mel_l1" in val and np.isfinite(val["mel_l1"])
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
