@@ -9,11 +9,14 @@ from __future__ import annotations
 
 import argparse
 import glob
+import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def _clip_metadata(video_path: str, text_dir_name: Optional[str], video_dir_name: str):
@@ -147,9 +150,62 @@ def cmd_update_paths(args):
     print("updated paths")
 
 
+def _mel_one(task):
+    """Extract one wav's 128-band 100 Hz log-mel target next to the wav
+    (reference: src/generateLogMel-Spectrograms.py:1-132, librosa n_fft=1024
+    hop=160 fmax=8000 center=False reflect-pad natural-log clamp 1e-5)."""
+    import numpy as np
+
+    from ..data.audio import hifigan_mel_np, read_wav
+
+    wav_path, overwrite = task
+    out_path = os.path.splitext(wav_path)[0] + "_mel_100hz_128bands.npy"
+    if os.path.exists(out_path) and not overwrite:
+        return 0
+    try:
+        mel = hifigan_mel_np(read_wav(wav_path))  # [T, 128]
+        np.save(out_path, mel.astype(np.float32))
+        return 1
+    except Exception as e:  # unreadable wav — skip, report
+        logger.warning("%s: %s", wav_path, e)
+        return 0
+
+
+def cmd_generate_mels(args):
+    """Offline mel-target extraction over a manifest, multiprocessing Pool
+    with SLURM CPU detection like the reference (:96-110)."""
+    from multiprocessing import Pool
+
+    wavs = []
+    with open(args.tsv) as f:
+        root = f.readline().strip()
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 3:
+                continue
+            audio = cols[2].split(":")[0]
+            wavs.append(audio if os.path.isabs(audio) else os.path.join(root, audio))
+    workers = args.workers or int(
+        os.environ.get("SLURM_CPUS_PER_TASK", os.cpu_count() or 1)
+    )
+    tasks = [(w, args.overwrite) for w in sorted(set(wavs))]
+    if workers <= 1:
+        done = sum(_mel_one(t) for t in tasks)
+    else:
+        with Pool(workers) as pool:
+            done = sum(pool.map(_mel_one, tasks, chunksize=16))
+    print(f"wrote {done}/{len(tasks)} mel targets")
+
+
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("generate-mels", help="offline 128-band mel targets")
+    m.add_argument("--tsv", required=True)
+    m.add_argument("--workers", type=int, default=0)
+    m.add_argument("--overwrite", action="store_true")
+    m.set_defaults(fn=cmd_generate_mels)
 
     g = sub.add_parser("generate")
     g.add_argument("--root", required=True)

@@ -31,6 +31,7 @@ from .. import tasks as _tasks  # noqa: F401 — registers tasks
 from ..models import avsr as _avsr, speech as _speech, vocoder as _vocoder  # noqa: F401
 from ..parallel.mesh import make_mesh
 from ..runtime.checkpoint import CheckpointManager
+from ..runtime.debug import NanDetector, Watchdog, check_cross_process_scalar
 from ..runtime.metrics import MetricsAggregator, log_stats
 from ..runtime.trainer import Trainer
 from ..data.dataset import PrefetchLoader
@@ -135,6 +136,10 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
     epoch = 0
     stop = False
     last_val: Dict[str, float] = {}
+    if cfg.common.profile:
+        # reference: --profile wrapping training in cuda profiler + nvtx
+        # (fairseq_cli/train.py:502-505); TPU analog is a jax.profiler trace
+        jax.profiler.start_trace(cfg.common.profile_dir)
     while not stop:
         epoch += 1
         batches = train_ds.batches(
@@ -146,12 +151,27 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         loader = PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers)
         for raw in loader:
             batch = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
-            metrics = trainer.train_step(batch)
+            if cfg.common.step_timeout_s > 0:
+                with Watchdog(cfg.common.step_timeout_s):
+                    metrics = trainer.train_step(batch)
+            else:
+                metrics = trainer.train_step(batch)
             agg.update({k: v for k, v in metrics.items()})
             step = trainer.step
             if step % cfg.common.log_interval == 0:
-                log_stats(agg.snapshot(), step, "train", cfg.common.log_format)
+                stats = agg.snapshot()
+                log_stats(stats, step, "train", cfg.common.log_format)
                 agg.reset()
+                # NanDetector flow (reference trainer.py:835-850): localise
+                # the non-finite tensor on the batch that produced it
+                if not np.isfinite(stats.get("loss", 0.0)):
+                    NanDetector(task.make_loss_fn()).run(
+                        trainer.state.params,
+                        trainer.state.collections,
+                        batch,
+                        jax.random.PRNGKey(0),
+                    )
+                check_cross_process_scalar("gnorm", stats.get("gnorm", 0.0))
             if cfg.optimization.max_update and step >= cfg.optimization.max_update:
                 stop = True
                 break
@@ -181,6 +201,9 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
                     stop = True
         if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
             stop = True
+    if cfg.common.profile:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", cfg.common.profile_dir)
     return last_val
 
 

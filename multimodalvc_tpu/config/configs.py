@@ -23,6 +23,10 @@ class CommonConfig:
     # dtype policy: params are kept in fp32; compute runs in this dtype.
     compute_dtype: str = "bfloat16"
     profile: bool = False
+    profile_dir: str = "profiles"
+    # kill/log when one optimizer step blocks longer than this (0 = off;
+    # DistributedTimeoutWrapper analog)
+    step_timeout_s: float = 0.0
     # assert the step function compiles at most this many times (XLA recompile
     # guard; reference analog: trainer.py:1382-1397 compilation-count check)
     max_compilations: int = 4

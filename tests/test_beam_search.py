@@ -140,3 +140,77 @@ def test_greedy_matches_hf(pair, rng):
     got = np.asarray(seqs)
     for i in range(2):
         assert _strip(got[i]) == _strip(ref[i]), (i, got[i], ref[i])
+
+
+def test_filter_logits_topk_topp():
+    from multimodalvc_tpu.ops.beam_search import NEG_INF, _filter_logits
+
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    k2 = _filter_logits(logits, top_k=2)
+    assert np.isneginf(np.asarray(k2)[0, :2]).all() or (np.asarray(k2)[0, :2] <= NEG_INF).all()
+    assert (np.asarray(k2)[0, 2:] > NEG_INF / 2).all()
+    # top_p keeps the smallest prefix covering p (always >= 1 token)
+    probs = np.asarray(jax.nn.softmax(logits))
+    p_keep = float(probs[0, 3])  # top-1 mass
+    p1 = _filter_logits(logits, top_p=p_keep * 0.5)
+    kept = (np.asarray(p1) > NEG_INF / 2)[0]
+    assert kept.tolist() == [False, False, False, True]
+
+
+def test_sample_search_respects_filtering(rng):
+    """With top_k=1 sampling degenerates to greedy on a fixed-logit decoder."""
+    from multimodalvc_tpu.ops.beam_search import greedy_search, sample_search
+
+    V, B, L = 11, 3, 6
+    table = jnp.asarray(rng.standard_normal((V, V)).astype(np.float32)) * 3.0
+
+    def decode_fn(tokens, positions, cache):
+        return table[tokens[:, 0]], cache
+
+    first = jnp.asarray(rng.standard_normal((B, V)).astype(np.float32)) * 3.0
+    lens = jnp.asarray([4, 4, 4], jnp.int32)
+    greedy = greedy_search(decode_fn, {}, lens, first, EOS, PAD, L)
+    sampled = sample_search(
+        decode_fn, {}, lens, first, EOS, PAD, L,
+        rng=jax.random.PRNGKey(0), top_k=1,
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(sampled))
+    # unconstrained sampling with different seeds gives different outputs
+    s1 = sample_search(decode_fn, {}, lens, first, EOS, PAD, L, rng=jax.random.PRNGKey(1), temperature=5.0)
+    s2 = sample_search(decode_fn, {}, lens, first, EOS, PAD, L, rng=jax.random.PRNGKey(2), temperature=5.0)
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_diverse_beam_search_diversifies(rng):
+    """Groups produce different first tokens; zero strength reduces to plain
+    grouped beam search whose best sequence matches beam_search's best."""
+    from multimodalvc_tpu.ops.beam_search import beam_search, diverse_beam_search
+
+    V, B, L, K = 13, 2, 5, 4
+    table = jnp.asarray(rng.standard_normal((V, V)).astype(np.float32)) * 2.0
+
+    def decode_fn(tokens, positions, cache):
+        return table[tokens[:, 0]], cache
+
+    first = jnp.asarray(rng.standard_normal((B, V)).astype(np.float32)) * 2.0
+    lens = jnp.asarray([3, 3], jnp.int32)
+
+    seqs_d, _ = diverse_beam_search(
+        decode_fn, {}, lens, first, EOS, PAD, L,
+        num_beams=K, num_groups=2, diversity_strength=10.0,
+    )
+    # with a huge penalty the two groups must open with different tokens
+    firsts = np.asarray(seqs_d)[:, :, 0]
+    for row in firsts:
+        assert len(set(row.tolist())) >= 2
+
+    seqs_0, scores_0 = diverse_beam_search(
+        decode_fn, {}, lens, first, EOS, PAD, L,
+        num_beams=K, num_groups=2, diversity_strength=0.0,
+    )
+    seqs_b, scores_b = beam_search(
+        decode_fn, {}, lens, first, EOS, PAD, L, num_beams=K
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_0)[:, 0], np.asarray(scores_b)[:, 0], rtol=1e-5
+    )

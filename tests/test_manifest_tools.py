@@ -93,3 +93,22 @@ def test_update_paths(corpus, tmp_path):
     r = run_tool("update-paths", "--tsv", f"{root}/train.tsv", "--old", "data/", "--new", "DATA/", "--out", str(out))
     assert r.returncode == 0, r.stderr
     assert "DATA/clip0.npy" in open(out).read()
+
+
+def test_generate_mels(corpus):
+    root, _ = corpus
+    r = run_tool("generate-mels", "--tsv", f"{root}/train.tsv", "--workers", "2")
+    assert r.returncode == 0, r.stderr
+    mels = [f for f in os.listdir(f"{root}/data") if f.endswith("_mel_100hz_128bands.npy")]
+    assert len(mels) == 6
+    mel = np.load(f"{root}/data/{mels[0]}")
+    assert mel.ndim == 2 and mel.shape[1] == 128
+    # matches the on-the-fly extractor exactly
+    from multimodalvc_tpu.data.audio import hifigan_mel_np, read_wav
+
+    stem = mels[0].replace("_mel_100hz_128bands.npy", "")
+    ref = hifigan_mel_np(read_wav(f"{root}/data/{stem}.wav"))
+    np.testing.assert_allclose(mel, ref, rtol=1e-5, atol=1e-6)
+    # idempotent without --overwrite
+    r2 = run_tool("generate-mels", "--tsv", f"{root}/train.tsv")
+    assert "wrote 0/6" in r2.stdout
