@@ -140,27 +140,36 @@ def main():
         )
         return seqs
 
+    def sync(x):
+        # block_until_ready is a no-op through the remote-execution tunnel
+        # (measured: impossible TFLOP/s); a host readback of the (small)
+        # result is the only reliable barrier.
+        return np.asarray(jax.device_get(x))
+
     # warmup/compile
     t0 = time.perf_counter()
-    decode(variables, batch).block_until_ready()
+    sync(decode(variables, batch))
     compile_s = time.perf_counter() - t0
 
     # distinct inputs per repeat: the remote-execution layer caches results
-    # for bit-identical inputs, which would fake sub-ms walls
-    import jax as _jax
+    # for bit-identical inputs, which would fake sub-ms walls.  Perturb ON
+    # DEVICE (host->device uploads through the tunnel are slow).
+    @jax.jit
+    def perturb(bt, eps):
+        out = dict(bt)
+        out["audio_feats"] = bt["audio_feats"] + eps
+        out["video"] = bt["video"] + eps
+        return out
 
     batches = []
     for r in range(args.repeats):
-        b2 = dict(batch)
-        b2["audio_feats"] = batch["audio_feats"] + 0.001 * (r + 1)
-        b2["video"] = batch["video"] + 0.001 * (r + 1)
+        b2 = perturb(batch, jnp.float32(0.001 * (r + 1)))
+        sync(jnp.sum(b2["video"][0, 0, :2, :2]))  # materialize before timing
         batches.append(b2)
-    for b2 in batches:
-        _jax.tree.map(lambda x: x.block_until_ready(), b2)
     times = []
     for b2 in batches:
         t0 = time.perf_counter()
-        decode(variables, b2).block_until_ready()
+        sync(decode(variables, b2))
         times.append(time.perf_counter() - t0)
     wall = min(times)
     audio_seconds = b * (t_v / 25.0)

@@ -197,9 +197,72 @@ def cmd_generate_mels(args):
     print(f"wrote {done}/{len(tasks)} mel targets")
 
 
+def cmd_learn_kmeans(args):
+    """Fit mini-batch k-means on MFCCs over a manifest and save centroids
+    (reference: avhubert/clustering/{dump_mfcc_feature,learn_kmeans}.py —
+    here feature extraction + Lloyd updates run in one pass on device)."""
+    from ..data.audio import read_wav
+    from ..data.clustering import MiniBatchKMeans, mfcc_np
+
+    feats = []
+    with open(args.tsv) as f:
+        root = f.readline().strip()
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 3:
+                continue
+            audio = cols[2].split(":")[0]
+            path = audio if os.path.isabs(audio) else os.path.join(root, audio)
+            feats.append(mfcc_np(read_wav(path)))
+    all_feats = np.concatenate(feats, axis=0)
+    if 0 < args.percent < 1.0:
+        rng = np.random.default_rng(0)
+        keep = rng.choice(len(all_feats), int(len(all_feats) * args.percent), replace=False)
+        all_feats = all_feats[keep]
+    km = MiniBatchKMeans(args.clusters, batch_size=args.batch_size).fit(
+        all_feats, epochs=args.epochs
+    )
+    km.save(args.out)
+    print(f"fit {args.clusters} clusters on {len(all_feats)} frames -> {args.out}")
+
+
+def cmd_dump_labels(args):
+    """Write per-clip k-means labels (.km) for pretraining
+    (avhubert/clustering/dump_km_label.py analog)."""
+    from ..data.clustering import MiniBatchKMeans, dump_labels_for_manifest
+
+    km = MiniBatchKMeans.load(args.centroids)
+    n = dump_labels_for_manifest(args.tsv, km, args.out)
+    print(f"wrote {n} label rows -> {args.out}")
+
+
 def main():
+    # the environment may pre-import jax with a remote platform selected, in
+    # which case the JAX_PLATFORMS env var alone is ignored — re-apply it
+    # through jax.config so `JAX_PLATFORMS=cpu manifest_tools ...` works
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    kk = sub.add_parser("learn-kmeans", help="fit k-means on MFCCs for pretraining labels")
+    kk.add_argument("--tsv", required=True)
+    kk.add_argument("--clusters", type=int, default=500)
+    kk.add_argument("--epochs", type=int, default=5)
+    kk.add_argument("--batch-size", type=int, default=10000)
+    kk.add_argument("--percent", type=float, default=1.0)
+    kk.add_argument("--out", required=True)
+    kk.set_defaults(fn=cmd_learn_kmeans)
+
+    kl = sub.add_parser("dump-labels", help="write per-clip k-means labels (.km)")
+    kl.add_argument("--tsv", required=True)
+    kl.add_argument("--centroids", required=True)
+    kl.add_argument("--out", required=True)
+    kl.set_defaults(fn=cmd_dump_labels)
 
     m = sub.add_parser("generate-mels", help="offline 128-band mel targets")
     m.add_argument("--tsv", required=True)

@@ -32,7 +32,7 @@ from ..models import avsr as _avsr, speech as _speech, vocoder as _vocoder  # no
 from ..parallel.mesh import make_mesh
 from ..runtime.checkpoint import CheckpointManager
 from ..runtime.debug import NanDetector, Watchdog, check_cross_process_scalar
-from ..runtime.metrics import MetricsAggregator, log_stats
+from ..runtime.metrics import MetricsAggregator, TensorBoardSink, log_stats
 from ..runtime.trainer import Trainer
 from ..data.dataset import PrefetchLoader
 from ..data.batching import pad_batch_to_multiple
@@ -130,8 +130,11 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         cfg.checkpoint.save_dir,
         best_metric=cfg.checkpoint.best_checkpoint_metric,
         maximize=cfg.checkpoint.maximize_best_checkpoint_metric,
+        save_interval_updates=cfg.checkpoint.save_interval_updates,
+        keep_interval_updates=cfg.checkpoint.keep_interval_updates,
     )
     agg = MetricsAggregator()
+    tb = TensorBoardSink(cfg.common.tensorboard_logdir)
     patience_left = cfg.checkpoint.patience
     epoch = 0
     stop = False
@@ -161,6 +164,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
             if step % cfg.common.log_interval == 0:
                 stats = agg.snapshot()
                 log_stats(stats, step, "train", cfg.common.log_format)
+                tb.scalars(stats, step, "train")
                 agg.reset()
                 # NanDetector flow (reference trainer.py:835-850): localise
                 # the non-finite tensor on the batch that produced it
@@ -187,6 +191,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
                 val_agg.update({k: float(v) for k, v in vm.items()})
             last_val = val_agg.snapshot()
             log_stats(last_val, trainer.step, "valid", cfg.common.log_format)
+            tb.scalars(last_val, trainer.step, "valid")
             prev_best = ckpt.best_value
             ckpt.save(
                 {"params": trainer.state.params, "collections": trainer.state.collections},
@@ -204,6 +209,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
     if cfg.common.profile:
         jax.profiler.stop_trace()
         logger.info("profiler trace written to %s", cfg.common.profile_dir)
+    tb.close()
     return last_val
 
 
@@ -225,7 +231,7 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         cfg.checkpoint.save_dir,
         best_metric="mel_l1",
         save_interval_updates=cfg.checkpoint.save_interval_updates,
-        keep_interval_updates=cfg.checkpoint.keep_last_epochs,
+        keep_interval_updates=cfg.checkpoint.keep_interval_updates,
     )
     agg = MetricsAggregator()
     epoch, stop = 0, False

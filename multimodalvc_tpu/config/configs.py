@@ -90,6 +90,7 @@ class OptimizationConfig:
 class CheckpointConfig:
     save_dir: str = "checkpoints"
     save_interval_updates: int = 0
+    keep_interval_updates: int = -1
     keep_last_epochs: int = -1
     keep_best_checkpoints: int = 1
     best_checkpoint_metric: str = "loss"

@@ -91,3 +91,43 @@ def log_stats(stats: Dict[str, float], step: int, prefix: str = "train", fmt: st
         logger.info(json.dumps({"step": step, "prefix": prefix, **{k: round(float(v), 6) for k, v in stats.items()}}))
     else:
         logger.info(format_stats(stats, step, prefix))
+
+
+class TensorBoardSink:
+    """TensorBoard scalar/audio/figure sink (reference analog:
+    fairseq/fairseq/logging/progress_bar.py TensorboardProgressBarWrapper and
+    the vocoder trainer's audio/spectrogram logging,
+    scripts/trainGermanVocoder.py:541-575).  No-op if tensorboardX is
+    unavailable."""
+
+    def __init__(self, logdir: Optional[str]):
+        self._writer = None
+        if not logdir:
+            return
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(logdir)
+        except Exception as e:  # pragma: no cover
+            logger.info("tensorboard sink unavailable (%s)", e)
+
+    def scalars(self, stats: Dict[str, float], step: int, prefix: str = "train") -> None:
+        if self._writer is None:
+            return
+        for k, v in stats.items():
+            try:
+                self._writer.add_scalar(f"{prefix}/{k}", float(v), step)
+            except (TypeError, ValueError):
+                continue
+
+    def audio(self, tag: str, wav, step: int, sample_rate: int = 16000) -> None:
+        if self._writer is not None:
+            self._writer.add_audio(tag, wav.reshape(-1, 1), step, sample_rate=sample_rate)
+
+    def image(self, tag: str, img_hwc, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_image(tag, img_hwc, step, dataformats="HWC")
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
