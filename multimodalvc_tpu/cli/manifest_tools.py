@@ -197,6 +197,33 @@ def cmd_generate_mels(args):
     print(f"wrote {done}/{len(tasks)} mel targets")
 
 
+def cmd_align_mouth(args):
+    """Landmark-driven mouth-ROI extraction for one clip
+    (avhubert/preparation/align_mouth.py analog): video .npy [T, H, W] +
+    landmarks .npy [T, 68, 2] -> ROI .npy [T, 2*ch, 2*cw]."""
+    from ..data.roi import crop_mouth_rois, default_mean_face
+
+    frames = np.load(args.video)
+    lms = np.load(args.landmarks)
+    landmarks = [lm if np.isfinite(lm).all() else None for lm in lms]
+    mean_face = (
+        np.load(args.mean_face) if args.mean_face else default_mean_face(args.std_size)
+    )
+    rois = crop_mouth_rois(
+        frames,
+        landmarks,
+        mean_face,
+        std_size=args.std_size,
+        window_margin=args.window_margin,
+        crop_height=args.crop // 2,
+        crop_width=args.crop // 2,
+    )
+    if rois is None:
+        raise SystemExit("no valid landmarks in clip")
+    np.save(args.out, rois)
+    print(f"wrote {rois.shape} -> {args.out}")
+
+
 def cmd_learn_kmeans(args):
     """Fit mini-batch k-means on MFCCs over a manifest and save centroids
     (reference: avhubert/clustering/{dump_mfcc_feature,learn_kmeans}.py —
@@ -248,6 +275,16 @@ def main():
 
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    am = sub.add_parser("align-mouth", help="landmark-aligned mouth-ROI crop")
+    am.add_argument("--video", required=True, help=".npy [T, H, W]")
+    am.add_argument("--landmarks", required=True, help=".npy [T, 68, 2]; NaN rows = missed")
+    am.add_argument("--mean-face", default=None, help=".npy [68, 2]")
+    am.add_argument("--std-size", type=int, default=256)
+    am.add_argument("--window-margin", type=int, default=12)
+    am.add_argument("--crop", type=int, default=96)
+    am.add_argument("--out", required=True)
+    am.set_defaults(fn=cmd_align_mouth)
 
     kk = sub.add_parser("learn-kmeans", help="fit k-means on MFCCs for pretraining labels")
     kk.add_argument("--tsv", required=True)
