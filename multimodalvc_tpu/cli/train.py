@@ -277,11 +277,18 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         jax.random.PRNGKey(cfg.common.seed),
         mel_frames=model.cfg.segment_length // 160,
     )
+    if cfg.checkpoint.init_from_pt:
+        # warm start from a reference checkpoint (English -> German recipe,
+        # scripts/trainGermanVocoder.py:383-398 loads the EN generator + EMA)
+        gen = model.import_torch_checkpoint(cfg.checkpoint.init_from_pt)
+        state = state.replace(gen_params=gen, ema_params=jax.tree.map(lambda x: x, gen))
+        logger.info("warm-started generator from %s", cfg.checkpoint.init_from_pt)
     step_fn = jax.jit(model.train_step)
     valid_fn = jax.jit(model.valid_step)
     ckpt = CheckpointManager(cfg.checkpoint.save_dir, best_metric="mel_l1")
     agg = MetricsAggregator()
     epoch, stop = 0, False
+    patience_left = cfg.checkpoint.patience
     last_val: Dict[str, float] = {}
     while not stop:
         epoch += 1
@@ -303,11 +310,19 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
             val_agg.update({k: float(v) for k, v in valid_fn(state, task.prepare_batch(raw)).items()})
         last_val = val_agg.snapshot()
         log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
+        prev_best = ckpt.best_value
         ckpt.save(
             {"gen_params": state.gen_params, "ema_params": state.ema_params},
             int(state.step),
             val_metrics=last_val,
         )
+        # early stopping on mel-L1 (scripts/trainGermanVocoder.py:609-612)
+        if cfg.checkpoint.patience > 0:
+            improved = ckpt.best_value != prev_best
+            patience_left = cfg.checkpoint.patience if improved else patience_left - 1
+            if patience_left <= 0:
+                logger.info("early stopping (patience exhausted)")
+                stop = True
         if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
             stop = True
     return last_val
