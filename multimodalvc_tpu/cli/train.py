@@ -138,6 +138,34 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
     patience_left = cfg.checkpoint.patience
     epoch = 0
     stop = False
+
+    # ---- resume (reference: checkpoint_utils.load_checkpoint restoring
+    # model + optimizer + epoch position, fairseq/checkpoint_utils.py:179-269)
+    template = {
+        "params": trainer.state.params,
+        "collections": trainer.state.collections,
+        "opt_state": trainer.state.opt_state,
+        "step": np.zeros((), np.int32),
+        "rng": np.asarray(trainer.state.rng),
+    }
+    restored = ckpt.restore(template, cfg.checkpoint.restore_file)
+    if restored is not None:
+        new_state = trainer.state.replace(
+            params=restored["params"],
+            collections=restored["collections"],
+            step=jax.numpy.asarray(restored["step"]),
+            rng=jax.numpy.asarray(restored["rng"]),
+        )
+        if not cfg.checkpoint.reset_optimizer:
+            new_state = new_state.replace(opt_state=restored["opt_state"])
+        if mesh is not None:
+            new_state = jax.device_put(new_state, trainer.state_shardings)
+        trainer.state = new_state
+        epoch = int(ckpt.meta.get("epoch", 0))
+        logger.info(
+            "resumed from %s at step %d (epoch %d)",
+            cfg.checkpoint.restore_file, trainer.step, epoch,
+        )
     last_val: Dict[str, float] = {}
     if cfg.common.profile:
         # reference: --profile wrapping training in cuda profiler + nvtx
@@ -194,9 +222,16 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
             tb.scalars(last_val, trainer.step, "valid")
             prev_best = ckpt.best_value
             ckpt.save(
-                {"params": trainer.state.params, "collections": trainer.state.collections},
+                {
+                    "params": trainer.state.params,
+                    "collections": trainer.state.collections,
+                    "opt_state": trainer.state.opt_state,
+                    "step": np.asarray(trainer.step, np.int32),
+                    "rng": np.asarray(jax.device_get(trainer.state.rng)),
+                },
                 trainer.step,
                 val_metrics=last_val,
+                extra={"epoch": epoch},
             )
             if cfg.checkpoint.patience > 0:
                 improved = ckpt.best_value != prev_best

@@ -27,6 +27,42 @@ except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
 
+def _kp_str(kp) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+
+def _select_like(template: Any, raw: Any) -> Any:
+    """Pick template-shaped leaves out of a (possibly larger) restored tree.
+    Orbax restores dicts with string keys; tuples/lists in the template
+    (e.g. optax states) come back as list-structured nodes."""
+    if isinstance(template, dict):
+        if not isinstance(raw, dict):
+            raise KeyError(f"expected mapping, got {type(raw)}")
+        return {k: _select_like(v, raw[k]) for k, v in template.items()}
+    if isinstance(template, (tuple, list)) or hasattr(template, "_fields"):
+        if raw is None:
+            # orbax collapses leafless subtrees (EmptyState, all-None nodes)
+            if not jax.tree_util.tree_leaves(template):
+                return template
+            raise KeyError("checkpoint missing a non-empty subtree")
+        children = list(template)
+        if isinstance(raw, dict):
+            # orbax keys namedtuples by field name, plain sequences by index
+            if hasattr(template, "_fields") and all(f in raw for f in template._fields):
+                raw_children = [raw[f] for f in template._fields]
+            else:
+                raw_children = [raw[str(i)] for i in range(len(children))]
+        else:
+            raw_children = list(raw)
+        vals = [_select_like(c, r) for c, r in zip(children, raw_children)]
+        if hasattr(template, "_fields"):  # namedtuple (optax states)
+            return type(template)(*vals)
+        return type(template)(vals) if isinstance(template, list) else tuple(vals)
+    if template is None:
+        return None
+    return np.asarray(raw)
+
+
 class CheckpointManager:
     """best/last/interval checkpoints + metadata + resume."""
 
@@ -115,24 +151,36 @@ class CheckpointManager:
             shutil.rmtree(path)
         if self._ckptr is not None:
             self._ckptr.save(path, tree)
-        else:  # numpy fallback
+        else:  # numpy fallback: arrays keyed by tree path
             os.makedirs(path, exist_ok=True)
-            flat, treedef = jax.tree_util.tree_flatten(tree)
-            np.savez(os.path.join(path, "arrays.npz"), *flat)
-            with open(os.path.join(path, "treedef.txt"), "w") as f:
-                f.write(str(treedef))
+            flat = {
+                _kp_str(kp): leaf
+                for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+            }
+            np.savez(os.path.join(path, "arrays.npz"), **flat)
 
     def restore(self, template: Any, name: str = "checkpoint_last") -> Optional[Any]:
+        """Restore ``template``'s leaves from the checkpoint.  The template
+        may be a SUBTREE of what was saved (eval restores params only from a
+        full trainer state) — extra saved keys are ignored."""
         path = self._path(name)
         if not os.path.exists(path):
             return None
         if self._ckptr is not None:
-            tree = jax.tree.map(np.asarray, jax.device_get(template))
-            return self._ckptr.restore(path, item=tree)
+            raw = self._ckptr.restore(path)  # itemless: full saved tree
+            return _select_like(template, raw)
+
         npz = np.load(os.path.join(path, "arrays.npz"))
-        flat = [npz[k] for k in npz.files]
-        treedef = jax.tree_util.tree_structure(template)
-        return jax.tree_util.tree_unflatten(treedef, flat)
+        flat_t = jax.tree_util.tree_flatten_with_path(template)
+        out = []
+        for kp, leaf in flat_t[0]:
+            key = _kp_str(kp)
+            if key not in npz:
+                raise KeyError(f"checkpoint {name} missing {key}")
+            out.append(npz[key])
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), out
+        )
 
     @property
     def meta(self) -> Dict[str, Any]:

@@ -95,3 +95,23 @@ def test_cli_e2e_gan_train(corpus, tmp_path):
     val = train_main(cfg)
     assert "mel_l1" in val and np.isfinite(val["mel_l1"])
     assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
+
+
+def test_cli_train_resume(corpus, tmp_path):
+    """Stop at step 2, resume, and continue to step 4 with optimizer state."""
+    root, noise = corpus
+    save_dir = str(tmp_path / "ckpt_resume")
+    cfg = _cfg(root, noise, save_dir)
+    cfg.optimization.max_update = 2
+    train_main(cfg)
+
+    from multimodalvc_tpu.runtime.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(save_dir)
+    assert mgr.meta["step"] == 2
+
+    cfg2 = _cfg(root, noise, save_dir)
+    cfg2.optimization.max_update = 4
+    val = train_main(cfg2)
+    assert np.isfinite(val["loss"])
+    assert CheckpointManager(save_dir).meta["step"] == 4
