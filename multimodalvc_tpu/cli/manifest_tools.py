@@ -197,6 +197,40 @@ def cmd_generate_mels(args):
     print(f"wrote {done}/{len(tasks)} mel targets")
 
 
+def cmd_filter_language(args):
+    """Filter manifest rows by a clip-id -> language metadata CSV
+    (reference: src/germanDatasetExtraction.py — VoxCeleb2 rows with
+    language == 'de' selected from the metadata dump; ids are matched as
+    substrings of the clip's video path, e.g. 'id00017/abc123')."""
+    lang_ids = set()
+    with open(args.meta) as f:
+        header = f.readline().rstrip("\n").split(",")
+        id_col = header.index(args.id_column)
+        lang_col = header.index(args.language_column)
+        for line in f:
+            cols = line.rstrip("\n").split(",")
+            if len(cols) > max(id_col, lang_col) and cols[lang_col].strip() == args.language:
+                lang_ids.add(cols[id_col].strip())
+    kept, total = 0, 0
+    wrd_in = open(args.wrd) if args.wrd else None
+    wrd_out = open(args.out + ".wrd", "w") if args.wrd else None
+    with open(args.tsv) as f, open(args.out, "w") as out:
+        out.write(f.readline())
+        for line in f:
+            total += 1
+            label = wrd_in.readline() if wrd_in else None
+            video = line.split("\t")[1] if "\t" in line else ""
+            if any(cid in video for cid in lang_ids):
+                out.write(line)
+                if wrd_out is not None and label is not None:
+                    wrd_out.write(label)
+                kept += 1
+    if wrd_in:
+        wrd_in.close()
+        wrd_out.close()
+    print(f"kept {kept}/{total} clips with language={args.language}")
+
+
 def cmd_align_mouth(args):
     """Landmark-driven mouth-ROI extraction for one clip
     (avhubert/preparation/align_mouth.py analog): video .npy [T, H, W] +
@@ -275,6 +309,16 @@ def main():
 
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    fl = sub.add_parser("filter-language", help="filter manifest by language metadata CSV")
+    fl.add_argument("--tsv", required=True)
+    fl.add_argument("--wrd", default=None, help="matching transcript file to co-filter")
+    fl.add_argument("--meta", required=True, help="CSV with clip ids + language")
+    fl.add_argument("--language", default="de")
+    fl.add_argument("--id-column", default="id")
+    fl.add_argument("--language-column", default="language")
+    fl.add_argument("--out", required=True)
+    fl.set_defaults(fn=cmd_filter_language)
 
     am = sub.add_parser("align-mouth", help="landmark-aligned mouth-ROI crop")
     am.add_argument("--video", required=True, help=".npy [T, H, W]")

@@ -112,3 +112,21 @@ def test_generate_mels(corpus):
     # idempotent without --overwrite
     r2 = run_tool("generate-mels", "--tsv", f"{root}/train.tsv")
     assert "wrote 0/6" in r2.stdout
+
+
+def test_filter_language(corpus, tmp_path):
+    root, _ = corpus
+    meta = tmp_path / "meta.csv"
+    meta.write_text("id,language\nclip0,de\nclip2,de\nclip1,en\n")
+    out = tmp_path / "german.tsv"
+    r = run_tool(
+        "filter-language", "--tsv", f"{root}/train.tsv", "--wrd", f"{root}/train.wrd",
+        "--meta", str(meta), "--language", "de", "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "kept 2/6" in r.stdout
+    rows = out.read_text().splitlines()
+    assert len(rows) == 3  # root + 2 clips
+    assert "clip0" in rows[1] and "clip2" in rows[2]
+    labels = (tmp_path / "german.tsv.wrd").read_text().splitlines()
+    assert len(labels) == 2
