@@ -69,7 +69,7 @@ def build_llama_params_bf16(cfg, rng_seed=0):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
-    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--seconds", type=float, default=16.0, help="utterance length")
     parser.add_argument("--beams", type=int, default=5)
     parser.add_argument("--new-tokens", type=int, default=64)
@@ -78,6 +78,14 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: the full-size decode program is large and
+    # first-compile dominates wall time; later runs (the driver's) reuse it
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mmvc_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRModel, AVSRSystem
     from multimodalvc_tpu.nn.llama import generate_beam
@@ -108,7 +116,9 @@ def main():
         "instruction": jnp.asarray(rng.integers(1, 200, (b, 10))),
     }
 
-    system = AVSRSystem(cfg)
+    # bf16 activations end-to-end: fp32 video-encoder activations at this
+    # batch/length OOM a 16 GB chip (and bf16 is the serving configuration)
+    system = AVSRSystem(cfg, dtype=jnp.float32 if args.tiny else jnp.bfloat16)
     # init encoder-side params on a short clip (cheap), then swap in the
     # manually-built bf16 llama params
     short = dict(batch)

@@ -63,6 +63,7 @@ def main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float
             num_beams=cfg.generation.beam,
             max_new_tokens=cfg.generation.max_len,
             length_penalty=cfg.generation.length_penalty,
+            no_repeat_ngram_size=cfg.generation.no_repeat_ngram_size,
         )
         best = np.asarray(seqs[:, 0])
         for row, sample_id in zip(best, raw["ids"]):

@@ -313,10 +313,10 @@ class AVSRModel(nn.Module):
 class AVSRSystem:
     """Bundles the module with generation (HF-generate-equivalent decode)."""
 
-    def __init__(self, cfg: AVSRConfig):
+    def __init__(self, cfg: AVSRConfig, dtype: jnp.dtype = jnp.float32):
         self.cfg = cfg
-        self.module = AVSRModel(cfg)
-        self.llama_module = LlamaModel(cfg.llama)
+        self.module = AVSRModel(cfg, dtype=dtype)
+        self.llama_module = LlamaModel(cfg.llama, dtype=dtype)
         self._gen_cache = {}
 
     @classmethod
@@ -366,6 +366,7 @@ class AVSRSystem:
         num_beams: int = 5,
         max_new_tokens: int = 100,
         length_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
         cache_dtype=jnp.bfloat16,
     ):
         """Beam-search transcription (reference: src/model.py:371-487).
@@ -378,6 +379,7 @@ class AVSRSystem:
             num_beams,
             max_new_tokens,
             length_penalty,
+            no_repeat_ngram_size,
             jnp.dtype(cache_dtype).name,
             self.cfg.eos_token_id,
             self.cfg.pad_token_id,
@@ -399,6 +401,7 @@ class AVSRSystem:
                     num_beams=num_beams,
                     max_new_tokens=max_new_tokens,
                     length_penalty=length_penalty,
+                    no_repeat_ngram_size=no_repeat_ngram_size,
                     cache_dtype=cache_dtype,
                 )
 

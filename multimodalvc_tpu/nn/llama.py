@@ -350,6 +350,7 @@ def generate_beam(
     num_beams: int = 5,
     max_new_tokens: int = 100,
     length_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
     cache_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HF-generate-equivalent beam search over embedded prompts.
@@ -422,6 +423,7 @@ def generate_beam(
         max_new_tokens=max_new_tokens,
         num_beams=k,
         length_penalty=length_penalty,
+        no_repeat_ngram_size=no_repeat_ngram_size,
     )
 
 

@@ -57,6 +57,40 @@ def _gather_beams(tree, indices, b, k):
     return jax.tree.map(gather, tree)
 
 
+def apply_ngram_block(
+    logp: jnp.ndarray,  # [B, K, V]
+    seqs: jnp.ndarray,  # [B, K, L] generated tokens so far
+    step: jnp.ndarray,  # scalar: tokens generated
+    ngram: int,
+) -> jnp.ndarray:
+    """Mask tokens that would complete a repeated n-gram (device-side analog
+    of the reference's ngram_repeat_block CUDA kernel,
+    fairseq/fairseq/clib/cuda/ngram_repeat_block_cuda_kernel.cu:1-76)."""
+    b, k, vocab = logp.shape
+    l = seqs.shape[2]
+    n1 = ngram - 1
+    if l < ngram:
+        return logp
+    # suffix: the last n-1 generated tokens (positions step-n+1 .. step-1)
+    suf_idx = step - n1 + jnp.arange(n1)  # valid iff step >= n1
+    suffix = jnp.take_along_axis(
+        seqs, jnp.broadcast_to(jnp.clip(suf_idx, 0, l - 1), (b, k, n1)), axis=2
+    )  # [B, K, n-1]
+    # all (n-1)-gram windows and their following token
+    windows = jnp.stack([seqs[:, :, s : s + n1] for s in range(l - n1)], axis=2)
+    follows = seqs[:, :, n1:]  # [B, K, S]
+    match = jnp.all(windows == suffix[:, :, None, :], axis=-1)  # [B, K, S]
+    # only windows fully inside the generated region (window end < step)
+    s_pos = jnp.arange(l - n1)
+    match = match & (s_pos[None, None, :] + n1 <= step - 1) & (step >= n1)
+    banned = jnp.where(match, follows, vocab)  # vocab = out-of-range -> dropped
+    flat = logp.reshape(b * k, vocab)
+    flat = flat.at[
+        jnp.arange(b * k)[:, None], banned.reshape(b * k, -1)
+    ].set(NEG_INF, mode="drop")
+    return flat.reshape(b, k, vocab)
+
+
 def beam_search(
     decode_fn: Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]],
     init_cache: Any,  # leaves [B*K, ...] pre-filled with the prompt
@@ -67,6 +101,7 @@ def beam_search(
     max_new_tokens: int,
     num_beams: int = 5,
     length_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search; returns (sequences [B, K, max_new_tokens], scores [B, K]).
 
@@ -127,6 +162,8 @@ def beam_search(
         logits, new_cache = decode_fn(flat_tokens, positions, state.cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
         logp = _unflatten_beam(logp, b, k)
+        if no_repeat_ngram_size > 0:
+            logp = apply_ngram_block(logp, state.live_seqs, step, no_repeat_ngram_size)
 
         cand = state.live_scores[:, :, None] + logp  # [B, K, V]
         flat_cand = cand.reshape(b, k * vocab)

@@ -214,3 +214,33 @@ def test_diverse_beam_search_diversifies(rng):
     np.testing.assert_allclose(
         np.asarray(scores_0)[:, 0], np.asarray(scores_b)[:, 0], rtol=1e-5
     )
+
+
+def test_no_repeat_ngram_blocks_cycles(rng):
+    """A decoder that deterministically cycles A->B->A->B... is broken out
+    of the cycle by no_repeat_ngram_size=2."""
+    from multimodalvc_tpu.ops.beam_search import beam_search
+
+    V, B, L = 6, 1, 8
+    A, Bt = 3, 4
+    table = np.full((V, V), -10.0, np.float32)
+    table[A, Bt] = 5.0   # after A, strongly prefer B
+    table[Bt, A] = 5.0   # after B, strongly prefer A
+    table[A, 1] = 2.0    # second choices
+    table[Bt, 1] = 2.0
+    tbl = jnp.asarray(table)
+
+    def decode_fn(tokens, positions, cache):
+        return tbl[tokens[:, 0]], cache
+
+    first = jnp.full((B, V), -10.0, jnp.float32).at[0, A].set(5.0)
+    lens = jnp.asarray([2], jnp.int32)
+    free, _ = beam_search(decode_fn, {}, lens, first, EOS, PAD, L, num_beams=1)
+    blocked, _ = beam_search(
+        decode_fn, {}, lens, first, EOS, PAD, L, num_beams=1, no_repeat_ngram_size=2
+    )
+    free, blocked = np.asarray(free)[0, 0], np.asarray(blocked)[0, 0]
+    assert free.tolist()[:5] == [A, Bt, A, Bt, A]  # unblocked cycles
+    # blocked: A B A then "A B" bigram is banned from repeating -> next != B
+    assert blocked.tolist()[:3] == [A, Bt, A]
+    assert blocked[3] != Bt
