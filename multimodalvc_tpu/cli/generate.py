@@ -17,6 +17,9 @@ logger = logging.getLogger(__name__)
 
 
 def main():
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="mode", required=True)
 
@@ -25,6 +28,16 @@ def main():
     voc.add_argument("--checkpoint", help="reference .pt or orbax dir")
     voc.add_argument("--out", default="out.wav")
     voc.add_argument("--ema", action="store_true", default=True)
+
+    syn = sub.add_parser(
+        "synthesize", help="AV clip -> waveform via the NoLLM speech model + vocoder"
+    )
+    syn.add_argument("--video", required=True, help=".npy [T, H, W]")
+    syn.add_argument("--audio", required=True, help="16 kHz wav")
+    syn.add_argument("--checkpoint", help="orbax dir with the speech-model state")
+    syn.add_argument("--vocoder-checkpoint", help="vocoder .pt / orbax dir")
+    syn.add_argument("--preset", default="tiny")
+    syn.add_argument("--out", default="synth.wav")
 
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
@@ -47,6 +60,58 @@ def main():
         wav = np.asarray(model.generate(variables["params"], jnp.asarray(mel)))[0]
         write_wav(args.out, wav)
         logger.info("wrote %s (%.2f s)", args.out, len(wav) / 16000)
+
+    elif args.mode == "synthesize":
+        _synthesize(args)
+
+
+def _synthesize(args):
+    """Single-clip speech synthesis (reference: src/inference_speech*.py +
+    scripts/quickInference.py): video + audio -> NoLLM mel head -> vocoder."""
+    import jax.numpy as jnp
+
+    from ..data.audio import read_wav, whisper_features_np, write_wav
+    from ..data.video import transform_video
+    from ..models.speech import SpeechConfig, SpeechNoLLMModel
+    from ..models.vocoder import VocoderConfig, VocoderModel
+    from ..runtime.checkpoint import CheckpointManager
+
+    cfg = getattr(SpeechConfig, args.preset)() if args.preset else SpeechConfig()
+    model = SpeechNoLLMModel(cfg)
+    crop = 24 if args.preset == "tiny" else 88
+    frames = transform_video(np.load(args.video), crop_size=crop, train=False)
+    wav_in = read_wav(args.audio)
+    t_v = min(frames.shape[0], cfg.max_video_frames)
+    batch = {
+        "video": jnp.asarray(frames[None, :t_v]),
+        "video_lengths": jnp.asarray([t_v], jnp.int32),
+        "audio_feats": jnp.asarray(whisper_features_np(wav_in)[None, :, : 2 * cfg.whisper.max_frames]),
+        "audio_lengths": jnp.asarray([len(wav_in)], jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    if args.checkpoint:
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore(
+            {"params": variables["params"],
+             "collections": {k: v for k, v in variables.items() if k != "params"}},
+        )
+        if restored is not None:
+            variables = {"params": restored["params"], **restored["collections"]}
+            logger.info("restored speech model from %s", args.checkpoint)
+    else:
+        logger.warning("no speech checkpoint — random weights")
+    out = model.apply(variables, batch, train=False)
+    mel = out["melspec"][:, : int(out["mel_lengths"][0])]
+
+    voc = VocoderModel(VocoderConfig())
+    if args.vocoder_checkpoint and args.vocoder_checkpoint.endswith((".pt", ".pth")):
+        gen_params = voc.import_torch_checkpoint(args.vocoder_checkpoint)
+    else:
+        logger.warning("no vocoder checkpoint — random weights")
+        gen_params = voc.init_state(jax.random.PRNGKey(1)).gen_params
+    wav = np.asarray(voc.generate(gen_params, mel))[0]
+    write_wav(args.out, wav)
+    logger.info("wrote %s (%.2f s)", args.out, len(wav) / 16000)
 
 
 if __name__ == "__main__":

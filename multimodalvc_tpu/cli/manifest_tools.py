@@ -298,14 +298,9 @@ def cmd_dump_labels(args):
 
 
 def main():
-    # the environment may pre-import jax with a remote platform selected, in
-    # which case the JAX_PLATFORMS env var alone is ignored — re-apply it
-    # through jax.config so `JAX_PLATFORMS=cpu manifest_tools ...` works
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
+    from ._platform import apply_platform_env
 
-        jax.config.update("jax_platforms", plat)
+    apply_platform_env()
 
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)

@@ -364,6 +364,9 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
 
 
 def cli_main():
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     main(build_config())
 
 

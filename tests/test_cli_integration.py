@@ -115,3 +115,28 @@ def test_cli_train_resume(corpus, tmp_path):
     val = train_main(cfg2)
     assert np.isfinite(val["loss"])
     assert CheckpointManager(save_dir).meta["step"] == 4
+
+
+def test_cli_synthesize(tmp_path):
+    """quickInference analog: AV clip -> NoLLM mel head -> vocoder -> wav."""
+    import subprocess
+    import sys
+
+    from scipy.io import wavfile
+
+    rng2 = np.random.default_rng(3)
+    t_v = 12
+    np.save(tmp_path / "clip.npy", rng2.integers(0, 255, (t_v, 40, 40), dtype=np.uint8))
+    wav = (0.1 * np.sin(2 * np.pi * 220 * np.arange(t_v * 640) / 16000)).astype(np.float32)
+    wavfile.write(tmp_path / "clip.wav", 16000, (wav * 32767).astype(np.int16))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.generate", "synthesize",
+         "--video", str(tmp_path / "clip.npy"), "--audio", str(tmp_path / "clip.wav"),
+         "--preset", "tiny", "--out", str(tmp_path / "synth.wav")],
+        capture_output=True, text=True, cwd=repo,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stderr
+    sr, out = wavfile.read(tmp_path / "synth.wav")
+    assert sr == 16000 and out.size > 1000
