@@ -119,19 +119,34 @@ def main():
     # bf16 activations end-to-end: fp32 video-encoder activations at this
     # batch/length OOM a 16 GB chip (and bf16 is the serving configuration)
     system = AVSRSystem(cfg, dtype=jnp.float32 if args.tiny else jnp.bfloat16)
-    # init encoder-side params on a short clip (cheap), then swap in the
-    # manually-built bf16 llama params
     short = dict(batch)
     short["video"] = batch["video"][:, : min(t_v, 32)]
     short["video_lengths"] = jnp.minimum(batch["video_lengths"], 32)
     short["labels"] = jnp.asarray(rng.integers(1, 200, (b, 4)))
     short["label_lengths"] = jnp.asarray([4] * b, dtype=jnp.int32)
-    variables = system.init(jax.random.PRNGKey(0), short)
-    variables = dict(variables)
-    params = dict(variables["params"])
-    if not args.tiny:
-        params["llama"] = build_llama_params_bf16(cfg.llama)
-    variables["params"] = params
+    if args.tiny:
+        variables = dict(system.init(jax.random.PRNGKey(0), short))
+    else:
+        # init ONLY the encoder: a full-system init would materialise the 3B
+        # LLaMA in fp32 (12.8 GB) before the bf16 swap and OOM a 16 GB chip
+        from multimodalvc_tpu.models.avsr import AVSREncoder
+
+        enc = AVSREncoder(cfg, dtype=jnp.bfloat16)
+        enc_vars = enc.init(
+            jax.random.PRNGKey(0),
+            short["audio_feats"],
+            short["video"],
+            short["video_lengths"],
+        )
+        variables = {
+            "params": {
+                "encoder": enc_vars["params"],
+                "llama": build_llama_params_bf16(cfg.llama),
+            }
+        }
+        for col, tree in enc_vars.items():
+            if col != "params":
+                variables[col] = {"encoder": tree}
 
     @jax.jit
     def decode(v, bt):

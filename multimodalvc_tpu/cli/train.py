@@ -28,7 +28,12 @@ from ..config import (
 )
 from ..config.registry import get_config_class, lookup
 from .. import tasks as _tasks  # noqa: F401 — registers tasks
-from ..models import avsr as _avsr, speech as _speech, vocoder as _vocoder  # noqa: F401
+from ..models import (  # noqa: F401 — registers models
+    avhubert_pretrain as _avh_pre,
+    avsr as _avsr,
+    speech as _speech,
+    vocoder as _vocoder,
+)
 from ..parallel.mesh import make_mesh
 from ..runtime.checkpoint import CheckpointManager
 from ..runtime.debug import NanDetector, Watchdog, check_cross_process_scalar

@@ -89,3 +89,23 @@ def hifigan_mel_np(wav: np.ndarray) -> np.ndarray:
     fb = stft_ops.mel_filterbank(16000, n_fft, n_mels, 0.0, 8000.0)
     mel = mag2 @ fb
     return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
+def stacked_logfbank_np(wav: np.ndarray, n_mels: int = 26, stack: int = 4) -> np.ndarray:
+    """[T] -> [T_frames//stack, n_mels*stack] log-filterbank at 25 Hz.
+
+    AV-HuBERT's audio front end (reference: avhubert/hubert_dataset.py:286-287
+    — python_speech_features logfbank + 4-frame stacking to video rate)."""
+    n_fft, hop = 400, 160  # 25 ms / 10 ms at 16 kHz
+    x = np.pad(wav.astype(np.float32), (n_fft // 2, n_fft // 2), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * stft_ops.hann_window(n_fft)
+    basis = stft_ops._dft_basis(n_fft, n_fft)
+    proj = frames @ basis
+    n_bins = n_fft // 2 + 1
+    power = proj[:, :n_bins] ** 2 + proj[:, n_bins:] ** 2
+    fb = stft_ops.mel_filterbank(16000, n_fft, n_mels, fmin=20.0, htk=True)
+    logmel = np.log(np.maximum(power @ fb, 1e-10))
+    t = (len(logmel) // stack) * stack
+    return logmel[:t].reshape(-1, stack * n_mels).astype(np.float32)

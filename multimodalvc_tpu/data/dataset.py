@@ -213,3 +213,86 @@ class PrefetchLoader:
                 except StopIteration:
                     pass
                 yield fut.result()
+
+
+class PretrainDataset:
+    """AV-HuBERT masked-pretraining dataset: video + stacked logfbank +
+    frame-level k-means labels from a .km file (one space-separated row per
+    manifest clip; produced by manifest_tools dump-labels).
+
+    Reference: avhubert/hubert_dataset.py (logfbank + 4-frame stacking to the
+    25 Hz video rate, cluster-label targets from the clustering stage)."""
+
+    def __init__(
+        self,
+        manifest_dir: str,
+        subset: str,
+        km_path: Optional[str] = None,
+        label_rate: int = 100,  # k-means labels from MFCC run at 100 Hz
+        max_video_frames: int = 500,
+        image_crop_size: int = 88,
+        length_buckets: Sequence[int] = (100, 200, 300, 400, 500),
+        seed: int = 1,
+    ):
+        from .audio import stacked_logfbank_np
+
+        self._fbank = stacked_logfbank_np
+        tsv = os.path.join(manifest_dir, f"{subset}.tsv")
+        self.manifest = load_manifest(tsv, max_keep_frames=max_video_frames)
+        km = km_path or os.path.join(manifest_dir, f"{subset}.km")
+        with open(km) as f:
+            rows = f.read().splitlines()
+        decim = max(label_rate // 25, 1)  # decimate to the 25 Hz frame rate
+        self.labels = [np.asarray(r.split(), np.int32)[::decim] for r in rows]
+        if len(self.labels) < len(self.manifest.entries):
+            raise ValueError(
+                f"{km}: {len(self.labels)} label rows < {len(self.manifest.entries)} clips"
+            )
+        self.crop = image_crop_size
+        self.buckets = tuple(length_buckets)
+        self.seed = seed
+        self.is_train = subset == "train"
+
+    def __len__(self):
+        return len(self.manifest.entries)
+
+    def sizes(self):
+        return self.manifest.sizes()
+
+    def batches(self, max_tokens=1000, batch_size=None, required_multiple=1, epoch=0):
+        return batch_by_size(
+            self.sizes(),
+            max_tokens=max_tokens,
+            batch_size=batch_size,
+            buckets=self.buckets,
+            required_multiple=required_multiple,
+            shuffle_seed=(self.seed + epoch) if self.is_train else None,
+        )
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        e = self.manifest.entries[index]
+        root = self.manifest.root
+        vp = e.video_path if os.path.isabs(e.video_path) else os.path.join(root, e.video_path)
+        ap = e.audio_path if os.path.isabs(e.audio_path) else os.path.join(root, e.audio_path)
+        video = transform_video(
+            load_video_frames(vp), crop_size=self.crop, train=self.is_train
+        )
+        audio = self._fbank(read_wav(ap))
+        t = min(len(video), len(audio), len(self.labels[index]))
+        return {
+            "video": video[:t],
+            "audio": audio[:t],
+            "targets": self.labels[index][:t],
+            "length": np.asarray(t, np.int32),
+        }
+
+    def collate(self, samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        t_max = bucket_for(max(int(s["length"]) for s in samples), self.buckets)
+        return {
+            "video": np.stack([pad_to(s["video"], t_max) for s in samples]),
+            "audio": np.stack([pad_to(s["audio"], t_max) for s in samples]),
+            "targets": np.stack(
+                [pad_to(s["targets"], t_max) for s in samples]
+            ).astype(np.int32),
+            "lengths": np.asarray([s["length"] for s in samples], np.int32),
+        }

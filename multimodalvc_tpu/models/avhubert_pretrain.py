@@ -36,6 +36,15 @@ class AVHubertPretrainConfig:
     mask_length: int = 10
     masking_type: str = "feature"  # input | feature
 
+    @classmethod
+    def tiny(cls):
+        return cls(
+            encoder=AVHubertConfig.tiny(),
+            num_classes=16,
+            final_dim=16,
+            mask_length=3,
+        )
+
 
 class AVHubertPretrainModel(nn.Module):
     cfg: AVHubertPretrainConfig

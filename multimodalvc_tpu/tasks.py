@@ -356,3 +356,105 @@ class E2EGanTask:
         )
         out["modality_mode"] = np.asarray(mode, np.int32)
         return out
+
+
+@dataclass
+class AVHubertPretrainTaskConfig:
+    data: str = ""
+    km_path: Optional[str] = None  # defaults to <data>/<subset>.km
+    max_video_frames: int = 500
+    image_crop_size: int = 88
+    length_buckets: tuple = (100, 200, 300, 400, 500)
+    loss_unmasked_weight: float = 0.0  # pred_nomask weighting (large_vox: 0)
+
+
+@register_task("avhubert_pretraining", config=AVHubertPretrainTaskConfig)
+class AVHubertPretrainTask:
+    """AV-HuBERT masked pretraining on k-means cluster labels
+    (reference: avhubert/hubert_pretraining.py + hubert.py forward; labels
+    come from manifest_tools learn-kmeans/dump-labels)."""
+
+    def __init__(self, cfg: AVHubertPretrainTaskConfig, model_cfg=None):
+        from .models.avhubert_pretrain import (
+            AVHubertPretrainConfig,
+            AVHubertPretrainModel,
+        )
+
+        self.cfg = cfg
+        self.model_cfg = model_cfg or AVHubertPretrainConfig()
+        self.module = AVHubertPretrainModel(self.model_cfg)
+
+    @classmethod
+    def from_config(cls, cfg, model_cfg=None):
+        return cls(cfg, model_cfg)
+
+    def load_dataset(self, subset: str):
+        from .data.dataset import PretrainDataset
+
+        return PretrainDataset(
+            manifest_dir=self.cfg.data,
+            subset=subset,
+            km_path=self.cfg.km_path,
+            max_video_frames=self.cfg.max_video_frames,
+            image_crop_size=self.cfg.image_crop_size,
+            length_buckets=tuple(self.cfg.length_buckets),
+        )
+
+    def prepare_batch(self, batch):
+        return batch
+
+    def frozen_patterns(self):
+        return []
+
+    def init_variables(self, rng, sample_batch):
+        return self.module.init(
+            {"params": rng, "mask": rng},
+            audio=sample_batch["audio"],
+            video=sample_batch["video"],
+            targets=sample_batch["targets"],
+            lengths=sample_batch["lengths"],
+            train=True,
+        )
+
+    def make_loss_fn(self):
+        module, w_u = self.module, self.cfg.loss_unmasked_weight
+
+        def loss_fn(params, collections, batch, rng):
+            variables = {"params": params, **(collections or {})}
+            out, mutated = module.apply(
+                variables,
+                audio=batch["audio"],
+                video=batch["video"],
+                targets=batch["targets"],
+                lengths=batch["lengths"],
+                train=True,
+                rngs={"mask": rng},
+                mutable=["batch_stats"],
+            )
+            loss = out["loss_masked"] + w_u * out["loss_unmasked"]
+            metrics = {
+                "loss_masked": out["loss_masked"],
+                "acc_masked": out["acc_masked"],
+            }
+            new_colls = dict(collections or {})
+            new_colls.update(mutated)
+            return loss, (metrics, new_colls)
+
+        return loss_fn
+
+    def valid_step_fn(self):
+        module = self.module
+
+        def valid_step(params, collections, batch):
+            out = module.apply(
+                {"params": params, **collections},
+                audio=batch["audio"],
+                video=batch["video"],
+                targets=batch["targets"],
+                lengths=batch["lengths"],
+                train=False,
+            )
+            # no masking at eval: loss over all valid frames
+            return {"loss": out["loss_unmasked"], "accuracy": out["acc_masked"]}
+
+        return valid_step

@@ -140,3 +140,45 @@ def test_cli_synthesize(tmp_path):
     assert r.returncode == 0, r.stderr
     sr, out = wavfile.read(tmp_path / "synth.wav")
     assert sr == 16000 and out.size > 1000
+
+
+def test_cli_avhubert_pretraining(corpus, tmp_path):
+    """Clustering labels -> masked pretraining through the CLI."""
+    import subprocess
+    import sys
+
+    root, _ = corpus
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cent = str(tmp_path / "cent.npy")
+    subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.manifest_tools", "learn-kmeans",
+         "--tsv", f"{root}/train.tsv", "--clusters", "8", "--epochs", "1",
+         "--batch-size", "256", "--out", cent],
+        check=True, capture_output=True, cwd=repo, env=env,
+    )
+    for subset in ("train", "valid"):
+        subprocess.run(
+            [sys.executable, "-m", "multimodalvc_tpu.cli.manifest_tools", "dump-labels",
+             "--tsv", f"{root}/{subset}.tsv", "--centroids", cent,
+             "--out", f"{root}/{subset}.km"],
+            check=True, capture_output=True, cwd=repo, env=env,
+        )
+    # k-means labels are at 25 Hz (stacked fbank) = video rate already
+    save_dir = str(tmp_path / "ckpt_pretrain")
+    tree = {
+        "common": {"log_interval": 1},
+        "mesh": {"data": -1},
+        "dataset": {"data": root, "batch_size": 2, "num_workers": 0,
+                    "required_batch_size_multiple": 1},
+        "optimization": {"max_update": 2, "max_epoch": 1, "lr": 1e-3,
+                         "warmup_updates": 1},
+        "checkpoint": {"save_dir": save_dir},
+        "task": {"name": "avhubert_pretraining", "max_video_frames": 16,
+                 "image_crop_size": 24, "length_buckets": [16]},
+        "model": {"name": "av_hubert_pretrain", "preset": "tiny"},
+    }
+    cfg = from_dict(TrainRootConfig, tree)
+    val = train_main(cfg)
+    assert np.isfinite(val["loss"]) and 0.0 <= val["accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
