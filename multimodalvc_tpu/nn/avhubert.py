@@ -40,6 +40,7 @@ class AVHubertConfig:
     conv_pos_groups: int = 16
     dropout: float = 0.0
     resnet_relu_type: str = "prelu"
+    remat: bool = False  # checkpoint layer activations
 
     @classmethod
     def large(cls):
@@ -106,6 +107,7 @@ class AVHubertModel(nn.Module):
             layer_norm_first=cfg.layer_norm_first,
             conv_pos=cfg.conv_pos,
             conv_pos_groups=cfg.conv_pos_groups,
+            remat=cfg.remat,
             dtype=self.dtype,
             name="encoder",
         )(x, lengths=lengths, deterministic=not train)

@@ -211,6 +211,8 @@ class TransformerEncoder(nn.Module):
     conv_pos: int = 128
     conv_pos_groups: int = 16
     layerdrop: float = 0.0
+    # rematerialise layer activations in backward (checkpoint_activations.py)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -227,8 +229,9 @@ class TransformerEncoder(nn.Module):
             x = ln(x)
         if self.dropout > 0 and not deterministic:
             x = nn.Dropout(rate=self.dropout)(x, deterministic=False)
+        layer_cls = nn.remat(TransformerLayer) if self.remat else TransformerLayer
         for i in range(self.num_layers):
-            x = TransformerLayer(
+            x = layer_cls(
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
                 dropout=self.dropout,

@@ -58,6 +58,9 @@ class LlamaConfig:
     rope_original_max_position: int = 8192
     tie_embeddings: bool = True
     lora: Optional[LoraConfig] = field(default_factory=LoraConfig)
+    # rematerialise each decoder layer's activations in backward (HBM for
+    # FLOPs; reference analog: modules/checkpoint_activations.py)
+    remat: bool = False
 
     @classmethod
     def llama32_3b(cls):
@@ -254,8 +257,11 @@ class LlamaModel(nn.Module):
             param_dtype=jnp.float32,
             name="embed_tokens",
         )
+        layer_cls = (
+            nn.remat(LlamaLayer, static_argnums=(5,)) if self.cfg.remat else LlamaLayer
+        )
         self.layers = [
-            LlamaLayer(self.cfg, self.dtype, name=f"layers_{i}")
+            layer_cls(self.cfg, self.dtype, name=f"layers_{i}")
             for i in range(self.cfg.num_layers)
         ]
         self.norm = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="norm")

@@ -152,3 +152,30 @@ def test_lm_loss_matches_hf(tiny_pair, rng):
     assert abs(float(loss) - ref_loss) < 2e-3
     # labels valid at positions 3..8 -> after shift, 6 per row
     assert int(n_valid) == 12
+
+
+def test_remat_grads_match(rng):
+    """cfg.remat=True recomputes activations without changing gradients."""
+    import jax
+
+    from multimodalvc_tpu.nn.llama import LlamaConfig, LlamaModel
+
+    ids = jnp.asarray(rng.integers(1, 200, (2, 9)))
+    cfg = LlamaConfig.tiny()
+    cfg2 = LlamaConfig.tiny()
+    cfg2.remat = True
+    m1, m2 = LlamaModel(cfg), LlamaModel(cfg2)
+    vs = m1.init(jax.random.PRNGKey(0), input_ids=ids)
+
+    def loss(m):
+        def f(p):
+            out = m.apply({"params": p}, input_ids=ids)
+            return jnp.sum(out["logits"].astype(jnp.float32) ** 2) * 1e-6
+        return f
+
+    g1 = jax.grad(loss(m1))(vs["params"])
+    g2 = jax.grad(loss(m2))(vs["params"])
+    diffs = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), g1, g2)
+    )
+    assert max(diffs) < 1e-5
