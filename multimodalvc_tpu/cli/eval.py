@@ -29,6 +29,18 @@ logger = logging.getLogger(__name__)
 
 def main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float]:
     logging.basicConfig(level=logging.INFO)
+    if cfg.common.profile:
+        # reference: --profile around decode (src/eval.py:273-276)
+        jax.profiler.start_trace(cfg.common.profile_dir)
+    try:
+        return _main(cfg, results_path)
+    finally:
+        if cfg.common.profile:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", cfg.common.profile_dir)
+
+
+def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float]:
     task = build_task(cfg)
     ds = task.load_dataset("test")
     tok = ds.tokenizer
@@ -90,6 +102,9 @@ def main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float
 
 
 def cli_main():
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None)
     parser.add_argument("--results", default="results")
