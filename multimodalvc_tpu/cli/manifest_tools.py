@@ -197,6 +197,34 @@ def cmd_generate_mels(args):
     print(f"wrote {done}/{len(tasks)} mel targets")
 
 
+def cmd_make_babble(args):
+    """Mix N random manifest utterances into a babble-noise track
+    (reference: avhubert/preparation/lrs3_noise.py mix_audio — overlap-add
+    of 30 normalised utterances)."""
+    from ..data.audio import read_wav, write_wav
+
+    wavs = []
+    with open(args.tsv) as f:
+        root = f.readline().strip()
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) >= 3:
+                a = cols[2].split(":")[0]
+                wavs.append(a if os.path.isabs(a) else os.path.join(root, a))
+    rng = np.random.default_rng(args.seed)
+    pick = rng.choice(len(wavs), size=min(args.n, len(wavs)), replace=False)
+    tracks = [read_wav(wavs[i]) for i in pick]
+    t = max(len(w) for w in tracks)
+    mix = np.zeros(t, np.float32)
+    for w in tracks:
+        reps = int(np.ceil(t / len(w)))
+        tiled = np.tile(w, reps)[:t]
+        mix += tiled / max(np.abs(tiled).max(), 1e-6)
+    mix = mix / max(np.abs(mix).max(), 1e-6) * 0.95
+    write_wav(args.out, mix)
+    print(f"mixed {len(tracks)} utterances -> {args.out} ({t / 16000:.1f} s)")
+
+
 def cmd_filter_language(args):
     """Filter manifest rows by a clip-id -> language metadata CSV
     (reference: src/germanDatasetExtraction.py — VoxCeleb2 rows with
@@ -304,6 +332,13 @@ def main():
 
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    bb = sub.add_parser("make-babble", help="mix manifest utterances into babble noise")
+    bb.add_argument("--tsv", required=True)
+    bb.add_argument("--n", type=int, default=30)
+    bb.add_argument("--seed", type=int, default=0)
+    bb.add_argument("--out", required=True)
+    bb.set_defaults(fn=cmd_make_babble)
 
     fl = sub.add_parser("filter-language", help="filter manifest by language metadata CSV")
     fl.add_argument("--tsv", required=True)

@@ -28,6 +28,7 @@ from ..config import (
 )
 from ..config.registry import get_config_class, lookup
 from .. import tasks as _tasks  # noqa: F401 — registers tasks
+from .. import benchmark as _benchmark  # noqa: F401 — registers dummy tasks
 from ..models import (  # noqa: F401 — registers models
     avhubert_pretrain as _avh_pre,
     avsr as _avsr,

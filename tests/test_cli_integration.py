@@ -182,3 +182,20 @@ def test_cli_avhubert_pretraining(corpus, tmp_path):
     val = train_main(cfg)
     assert np.isfinite(val["loss"]) and 0.0 <= val["accuracy"] <= 1.0
     assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
+
+
+def test_cli_dummy_benchmark_task(tmp_path):
+    """fairseq benchmark/dummy_* analog: synthetic batches, real train step."""
+    tree = {
+        "common": {"log_interval": 1},
+        "mesh": {"data": -1},
+        "dataset": {"data": "/unused", "num_workers": 0},
+        "optimization": {"max_update": 2, "max_epoch": 1, "warmup_updates": 1},
+        "checkpoint": {"save_dir": str(tmp_path / "ckpt_dummy")},
+        "task": {"name": "dummy_avsr", "batch_size": 2, "video_frames": 16,
+                 "crop": 24, "label_tokens": 6, "n_batches": 3},
+        "model": {"name": "mms_llama_avsr", "preset": "tiny"},
+    }
+    cfg = from_dict(TrainRootConfig, tree)
+    val = train_main(cfg)
+    assert np.isfinite(val["loss"])

@@ -130,3 +130,15 @@ def test_filter_language(corpus, tmp_path):
     assert "clip0" in rows[1] and "clip2" in rows[2]
     labels = (tmp_path / "german.tsv.wrd").read_text().splitlines()
     assert len(labels) == 2
+
+
+def test_make_babble(corpus, tmp_path):
+    from scipy.io import wavfile
+
+    root, _ = corpus
+    out = str(tmp_path / "babble.wav")
+    r = run_tool("make-babble", "--tsv", f"{root}/train.tsv", "--n", "4", "--out", out)
+    assert r.returncode == 0, r.stderr
+    sr, data = wavfile.read(out)
+    assert sr == 16000 and len(data) > 16000 * 0.3
+    assert np.abs(data).max() <= 1.0 + 1e-6
