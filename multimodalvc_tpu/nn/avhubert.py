@@ -41,6 +41,7 @@ class AVHubertConfig:
     dropout: float = 0.0
     resnet_relu_type: str = "prelu"
     remat: bool = False  # checkpoint layer activations
+    sequence_parallel: bool = False  # ring attention over the sequence axis
 
     @classmethod
     def large(cls):
@@ -108,6 +109,7 @@ class AVHubertModel(nn.Module):
             conv_pos=cfg.conv_pos,
             conv_pos_groups=cfg.conv_pos_groups,
             remat=cfg.remat,
+            sequence_parallel=cfg.sequence_parallel,
             dtype=self.dtype,
             name="encoder",
         )(x, lengths=lengths, deterministic=not train)

@@ -46,6 +46,9 @@ class MultiHeadAttention(nn.Module):
     causal: bool = False
     out_features: Optional[int] = None
     use_bias: bool = True
+    # shard self-attention over the mesh "sequence" axis (ring attention);
+    # active only when the current mesh has sequence > 1 and T divides it
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(
@@ -73,7 +76,24 @@ class MultiHeadAttention(nn.Module):
         split = lambda t: t.reshape(b, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
-        if (
+        if self.sequence_parallel and bias is None and mask is None and tq == tk:
+            from ..ops.ring_attention import ring_attention
+            from ..parallel.mesh import get_current_mesh
+
+            mesh = get_current_mesh()
+            if mesh is not None and mesh.shape.get("sequence", 1) > 1 and tq % mesh.shape["sequence"] == 0:
+                out = ring_attention(
+                    q, k, v, mesh, kv_len=kv_lens, causal=self.causal
+                )
+            else:
+                out = dot_product_attention(
+                    q, k, v,
+                    mask=None if kv_lens is None else (
+                        jnp.arange(tk)[None, None, None, :] < kv_lens[:, None, None, None]
+                    ),
+                    causal=self.causal,
+                )
+        elif (
             bias is None
             and mask is None
             and use_flash(tq, tk, head_dim)
@@ -162,6 +182,7 @@ class TransformerLayer(nn.Module):
     activation_dropout: float = 0.0
     layer_norm_first: bool = True
     activation: Callable = nn.gelu
+    sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,6 +190,7 @@ class TransformerLayer(nn.Module):
         attn = lambda h: MultiHeadAttention(
             num_heads=self.num_heads,
             dropout=self.attention_dropout,
+            sequence_parallel=self.sequence_parallel,
             dtype=self.dtype,
             name="self_attn",
         )(h, kv_lens=kv_lens, mask=mask, deterministic=deterministic)
@@ -213,6 +235,8 @@ class TransformerEncoder(nn.Module):
     layerdrop: float = 0.0
     # rematerialise layer activations in backward (checkpoint_activations.py)
     remat: bool = False
+    # ring attention over the mesh sequence axis for long-form inputs
+    sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -236,6 +260,7 @@ class TransformerEncoder(nn.Module):
                 ffn_dim=self.ffn_dim,
                 dropout=self.dropout,
                 layer_norm_first=self.layer_norm_first,
+                sequence_parallel=self.sequence_parallel,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, kv_lens=lengths, deterministic=deterministic)

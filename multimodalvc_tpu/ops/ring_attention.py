@@ -51,7 +51,7 @@ def ring_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis: str = "sequence",
-    kv_len: Optional[jnp.ndarray] = None,  # scalar or [] — global valid length
+    kv_len: Optional[jnp.ndarray] = None,  # scalar or [B] — global valid length(s)
     causal: bool = False,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
@@ -66,11 +66,13 @@ def ring_attention(
     chunk = t // n
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     if kv_len is None:
-        kv_len = jnp.asarray(t, jnp.int32)
+        kv_len = jnp.full((b,), t, jnp.int32)
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
 
     def local(q_c, k_c, v_c, kv_len):
         idx = jax.lax.axis_index(axis)
         q_off = idx * chunk
+        kv_len = kv_len[:, None, None, None]  # per-batch valid lengths
 
         def step(i, carry):
             m_run, l_run, acc, k_rot, v_rot = carry
@@ -102,8 +104,8 @@ def ring_attention(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, axis, None),) * 3 + (P(),),
+        in_specs=(P(None, None, axis, None),) * 3 + (P(None),),
         out_specs=P(None, None, axis, None),
         check_vma=False,
     )
-    return fn(q, k, v, jnp.asarray(kv_len, jnp.int32))
+    return fn(q, k, v, kv_len)

@@ -19,6 +19,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
 
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def get_current_mesh() -> Optional[Mesh]:
+    """The mesh created by the last make_mesh call (for modules that want
+    collective ops — e.g. sequence-parallel ring attention — without
+    threading the mesh through every config)."""
+    return _CURRENT_MESH
+
 # Canonical axis order: data-like axes first (outermost, cross-slice
 # friendly), then model axes that want high-bandwidth ICI neighbours.
 AXIS_ORDER = ("pipeline", "data", "fsdp", "sequence", "expert", "tensor")
@@ -63,6 +77,7 @@ def make_mesh(
     dev_array = np.asarray(devices).reshape(shape)
     mesh = Mesh(dev_array, AXIS_ORDER)
     logger.info("mesh: %s", {ax: s for ax, s in zip(AXIS_ORDER, shape) if s > 1} or "single-device")
+    set_current_mesh(mesh)
     return mesh
 
 
