@@ -69,7 +69,7 @@ def build_llama_params_bf16(cfg, rng_seed=0):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
-    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--seconds", type=float, default=16.0, help="utterance length")
     parser.add_argument("--beams", type=int, default=5)
     parser.add_argument("--new-tokens", type=int, default=64)
@@ -138,9 +138,15 @@ def main():
             short["video"],
             short["video_lengths"],
         )
+        # frozen encoders serve in bf16 (the reference fp16-casts at eval,
+        # src/eval.py); halves their HBM footprint
+        enc_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            enc_vars["params"],
+        )
         variables = {
             "params": {
-                "encoder": enc_vars["params"],
+                "encoder": enc_params,
                 "llama": build_llama_params_bf16(cfg.llama),
             }
         }
