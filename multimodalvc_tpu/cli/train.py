@@ -328,6 +328,7 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
     valid_fn = jax.jit(model.valid_step)
     ckpt = CheckpointManager(cfg.checkpoint.save_dir, best_metric="mel_l1")
     agg = MetricsAggregator()
+    tb = TensorBoardSink(cfg.common.tensorboard_logdir)
     epoch, stop = 0, False
     patience_left = cfg.checkpoint.patience
     last_val: Dict[str, float] = {}
@@ -351,6 +352,21 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
             val_agg.update({k: float(v) for k, v in valid_fn(state, task.prepare_batch(raw)).items()})
         last_val = val_agg.snapshot()
         log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
+        tb.scalars(last_val, int(state.step), "valid")
+        # validation audio sample (reference: trainGermanVocoder.py:541-575
+        # logs generated audio + spectrogram figures to TensorBoard)
+        try:
+            sample = task.prepare_batch(
+                valid_ds.collate([valid_ds[0]])
+            )
+            wav = np.asarray(
+                model.generate(
+                    jax.device_get(state.ema_params), jnp.asarray(sample["mel"][:1])
+                )
+            )[0]
+            tb.audio("valid/generated", wav, int(state.step))
+        except Exception:
+            pass
         prev_best = ckpt.best_value
         ckpt.save(
             {"gen_params": state.gen_params, "ema_params": state.ema_params},
