@@ -142,3 +142,19 @@ def test_make_babble(corpus, tmp_path):
     sr, data = wavfile.read(out)
     assert sr == 16000 and len(data) > 16000 * 0.3
     assert np.abs(data).max() <= 1.0 + 1e-6
+
+
+def test_inspect_checkpoint(tmp_path):
+    import torch
+
+    sd = {"enc.w": torch.randn(4, 4), "enc.b": torch.randn(4), "head.w": torch.randn(2, 4)}
+    torch.save(sd, tmp_path / "m.pt")
+    r = subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.inspect_checkpoint",
+         str(tmp_path / "m.pt"), "--depth", "1"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "3 keys" in r.stdout and "enc" in r.stdout and "head" in r.stdout
