@@ -192,6 +192,30 @@ def build_optimizer(
     return tx, mask
 
 
+def build_composite_optimizer(
+    groups: List[Tuple[str, optax.GradientTransformation]],
+    params: Any,
+    default: Optional[optax.GradientTransformation] = None,
+) -> optax.GradientTransformation:
+    """Route param subtrees to different optimizers by path regex
+    (reference: fairseq/fairseq/optim/composite.py — per-group optimizers
+    keyed by parameter group names).  First matching regex wins; unmatched
+    params use ``default`` (or are frozen)."""
+    regexes = [(re.compile(rx), i) for i, (rx, _) in enumerate(groups)]
+
+    def assign(path, _leaf):
+        p = path_str(path)
+        for rx, i in regexes:
+            if rx.search(p):
+                return f"g{i}"
+        return "default"
+
+    labels = jax.tree_util.tree_map_with_path(assign, params)
+    transforms = {f"g{i}": tx for i, (_, tx) in enumerate(groups)}
+    transforms["default"] = default if default is not None else optax.set_to_zero()
+    return optax.multi_transform(transforms, labels)
+
+
 @dataclass
 class CompileGuard:
     """Warn/raise when the step function recompiles too often

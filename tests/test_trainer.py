@@ -145,3 +145,24 @@ def test_checkpoint_interval_keep_n(tmp_path):
     assert "checkpoint_best" in names and "checkpoint_last" in names
     restored = ckpt.restore({"w": np.zeros(3)}, "checkpoint_last")
     np.testing.assert_array_equal(restored["w"], np.ones(3))
+
+
+def test_composite_optimizer_routes_groups():
+    import optax
+
+    from multimodalvc_tpu.runtime.trainer import build_composite_optimizer
+
+    params = {
+        "encoder": {"w": jnp.ones(4)},
+        "head": {"w": jnp.ones(4)},
+        "other": {"w": jnp.ones(4)},
+    }
+    tx = build_composite_optimizer(
+        [("^encoder/", optax.sgd(0.1)), ("^head/", optax.sgd(1.0))], params
+    )
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["encoder"]["w"]), -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["head"]["w"]), -1.0, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(updates["other"]["w"]), 0.0)  # frozen default
