@@ -69,7 +69,7 @@ def build_llama_params_bf16(cfg, rng_seed=0):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
-    parser.add_argument("--batch", type=int, default=6)
+    parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seconds", type=float, default=16.0, help="utterance length")
     parser.add_argument("--beams", type=int, default=5)
     parser.add_argument("--new-tokens", type=int, default=64)
@@ -206,7 +206,8 @@ def main():
     audio_seconds = b * (t_v / 25.0)
     rtf = audio_seconds / wall
 
-    # TTFT: encoders + prompt prefill + first token (BASELINE p50 < 200 ms)
+    # TTFT: encoders + prompt prefill + first token for ONE request
+    # (latency metric — BASELINE p50 < 200 ms per utterance)
     @jax.jit
     def first_token(v, bt):
         emb, mask = system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
@@ -214,11 +215,14 @@ def main():
         out = system.llama_module.apply(llama_vars, inputs_embeds=emb, attn_mask=mask)
         return jnp.argmax(out["logits"][:, -1], axis=-1)
 
-    sync(first_token(variables, batch))  # compile
+    def one(bt):
+        return {k: v[:1] for k, v in bt.items()}
+
+    sync(first_token(variables, one(batch)))  # compile
     ttft_times = []
     for b2 in batches:
         t0 = time.perf_counter()
-        sync(first_token(variables, b2))
+        sync(first_token(variables, one(b2)))
         ttft_times.append(time.perf_counter() - t0)
     ttft = min(ttft_times)
 

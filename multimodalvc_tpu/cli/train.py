@@ -214,37 +214,36 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
                 stop = True
                 break
         # ---- validation + checkpoint ----------------------------------------
-        if not stop or True:
-            val_agg = MetricsAggregator()
-            v_batches = valid_ds.batches(
-                max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
-            )
-            for raw in PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers):
-                vb = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
-                vm = valid_step(trainer.state.params, trainer.state.collections, vb)
-                val_agg.update({k: float(v) for k, v in vm.items()})
-            last_val = val_agg.snapshot()
-            log_stats(last_val, trainer.step, "valid", cfg.common.log_format)
-            tb.scalars(last_val, trainer.step, "valid")
-            prev_best = ckpt.best_value
-            ckpt.save(
-                {
-                    "params": trainer.state.params,
-                    "collections": trainer.state.collections,
-                    "opt_state": trainer.state.opt_state,
-                    "step": np.asarray(trainer.step, np.int32),
-                    "rng": np.asarray(jax.device_get(trainer.state.rng)),
-                },
-                trainer.step,
-                val_metrics=last_val,
-                extra={"epoch": epoch},
-            )
-            if cfg.checkpoint.patience > 0:
-                improved = ckpt.best_value != prev_best
-                patience_left = cfg.checkpoint.patience if improved else patience_left - 1
-                if patience_left <= 0:
-                    logger.info("early stopping (patience exhausted)")
-                    stop = True
+        val_agg = MetricsAggregator()
+        v_batches = valid_ds.batches(
+            max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
+        )
+        for raw in PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers):
+            vb = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
+            vm = valid_step(trainer.state.params, trainer.state.collections, vb)
+            val_agg.update({k: float(v) for k, v in vm.items()})
+        last_val = val_agg.snapshot()
+        log_stats(last_val, trainer.step, "valid", cfg.common.log_format)
+        tb.scalars(last_val, trainer.step, "valid")
+        prev_best = ckpt.best_value
+        ckpt.save(
+            {
+                "params": trainer.state.params,
+                "collections": trainer.state.collections,
+                "opt_state": trainer.state.opt_state,
+                "step": np.asarray(trainer.step, np.int32),
+                "rng": np.asarray(jax.device_get(trainer.state.rng)),
+            },
+            trainer.step,
+            val_metrics=last_val,
+            extra={"epoch": epoch},
+        )
+        if cfg.checkpoint.patience > 0:
+            improved = ckpt.best_value != prev_best
+            patience_left = cfg.checkpoint.patience if improved else patience_left - 1
+            if patience_left <= 0:
+                logger.info("early stopping (patience exhausted)")
+                stop = True
         if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
             stop = True
     if cfg.common.profile:
