@@ -84,9 +84,19 @@ class CheckpointManager:
         self.save_interval_updates = save_interval_updates
         self.keep_interval_updates = keep_interval_updates
         self.best_value: Optional[float] = None
-        self._ckptr = (
-            ocp.PyTreeCheckpointer() if _HAVE_ORBAX else None
-        )
+        self._ckptr = None
+        self._async = None
+        if _HAVE_ORBAX:
+            if async_save:
+                # async array writes (reference analog: iopath async path,
+                # fairseq/fairseq/checkpoint_utils.py:485) — the save call
+                # returns once arrays are snapshotted; serialization runs in
+                # a background thread and is joined before the next write.
+                try:
+                    self._async = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                except Exception:
+                    self._async = None
+            self._ckptr = ocp.PyTreeCheckpointer()
         self._meta_path = os.path.join(self.save_dir, "meta.json")
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
@@ -118,6 +128,7 @@ class CheckpointManager:
                 improved = True
         if self.save_interval_updates and step % self.save_interval_updates == 0:
             self._write(tree, f"checkpoint_{step}")
+            self.wait()  # finalize before pruning so keep-N sees a consistent dir
             self._prune_interval()
         meta = {
             "step": step,
@@ -147,9 +158,13 @@ class CheckpointManager:
 
     def _write(self, tree: Any, name: str) -> None:
         path = self._path(name)
+        if self._async is not None:
+            self._async.wait_until_finished()  # join any in-flight write
         if os.path.exists(path):
             shutil.rmtree(path)
-        if self._ckptr is not None:
+        if self._async is not None:
+            self._async.save(path, tree)
+        elif self._ckptr is not None:
             self._ckptr.save(path, tree)
         else:  # numpy fallback: arrays keyed by tree path
             os.makedirs(path, exist_ok=True)
@@ -163,6 +178,7 @@ class CheckpointManager:
         """Restore ``template``'s leaves from the checkpoint.  The template
         may be a SUBTREE of what was saved (eval restores params only from a
         full trainer state) — extra saved keys are ignored."""
+        self.wait()
         path = self._path(name)
         if not os.path.exists(path):
             return None
@@ -181,6 +197,11 @@ class CheckpointManager:
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template), out
         )
+
+    def wait(self) -> None:
+        """Block until any in-flight async write has committed."""
+        if self._async is not None:
+            self._async.wait_until_finished()
 
     @property
     def meta(self) -> Dict[str, Any]:
