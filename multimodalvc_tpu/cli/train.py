@@ -41,7 +41,7 @@ from ..runtime.debug import NanDetector, Watchdog, check_cross_process_scalar
 from ..runtime.metrics import MetricsAggregator, TensorBoardSink, log_stats
 from ..runtime.trainer import Trainer
 from ..data.dataset import PrefetchLoader
-from ..data.batching import pad_batch_to_multiple
+from ..data.batching import pad_batch_to_multiple, shard_batches
 from ..parallel.mesh import local_batch_multiple
 
 logger = logging.getLogger(__name__)
@@ -185,6 +185,8 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
             required_multiple=cfg.dataset.required_batch_size_multiple,
             epoch=epoch,
         )
+        # multi-host: each process loads its own slice of the batch list
+        batches = shard_batches(batches, jax.process_count(), jax.process_index())
         loader = PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers)
         for raw in loader:
             batch = pad_batch_to_multiple(task.prepare_batch(raw), multiple)

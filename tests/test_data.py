@@ -95,3 +95,16 @@ def test_wer_and_edit_distance():
     assert errs == 2 and words == 3
     assert abs(w - 200.0 / 3) < 1e-9
     assert cer(["abc"], ["abd"]) == pytest.approx(100.0 / 3)
+
+
+def test_shard_batches_aligned():
+    from multimodalvc_tpu.data.batching import shard_batches
+
+    batches = [np.asarray([i]) for i in range(10)]
+    shards = [shard_batches(batches, 4, s) for s in range(4)]
+    # equal step counts across shards (collectives stay aligned)
+    assert len({len(s) for s in shards}) == 1
+    # the real batches are disjoint across shards
+    firsts = [int(b[0]) for s in shards for b in s[: len(batches) // 4]]
+    assert len(set(firsts)) == len(firsts)
+    assert shard_batches(batches, 1, 0) == batches
