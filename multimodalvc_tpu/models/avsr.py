@@ -407,3 +407,59 @@ class AVSRSystem:
 
             self._gen_cache[key] = jax.jit(_gen)
         return self._gen_cache[key](variables, batch)
+
+    def generate_long_form(
+        self,
+        variables,
+        batch,
+        chunk_frames: int = 400,
+        overlap_frames: int = 0,
+        **gen_kwargs,
+    ):
+        """Chunked long-form transcription.
+
+        The reference caps clips at 20 s (max_sample_size 500,
+        src/conf/mms-llama.yaml:38) and cannot decode longer inputs; here
+        arbitrary-length clips are decoded by sliding a chunk window over
+        the video (audio features follow at 2 frames per video frame via
+        the whisper 100 Hz alignment) and decoding each window with the
+        cached single-chunk program.  Returns a list (per sample) of lists
+        of per-chunk token rows (best beam).
+        """
+        import numpy as np_
+
+        video = batch["video"]
+        lengths = np_.asarray(batch["video_lengths"])
+        b, t_total = video.shape[0], video.shape[1]
+        stride = chunk_frames - overlap_frames
+        if stride <= 0:
+            raise ValueError("overlap must be smaller than the chunk")
+        texts = [[] for _ in range(b)]
+        audio_feats = batch["audio_feats"]
+        for start in range(0, max(t_total - overlap_frames, 1), stride):
+            end = min(start + chunk_frames, t_total)
+            if end <= start:
+                break
+            pad = chunk_frames - (end - start)
+            v = video[:, start:end]
+            if pad:
+                v = jnp.pad(v, ((0, 0), (0, pad)) + ((0, 0),) * (v.ndim - 2))
+            chunk_lens = jnp.clip(
+                jnp.asarray(lengths) - start, 0, chunk_frames
+            ).astype(jnp.int32)
+            # whisper features run at 100 Hz = 4x video rate; our encoder
+            # consumes a 2*max_frames slice starting at the chunk
+            a_start = min(4 * start, max(audio_feats.shape[-1] - 1, 0))
+            a_window = 2 * self.cfg.whisper.max_frames  # the encoder's window
+            a = audio_feats[..., a_start : a_start + a_window]
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, a_window - a.shape[-1])))
+            chunk_batch = dict(batch)
+            chunk_batch["video"] = v
+            chunk_batch["video_lengths"] = jnp.maximum(chunk_lens, 1)
+            chunk_batch["audio_feats"] = a
+            seqs, _ = self.generate(variables, chunk_batch, **gen_kwargs)
+            best = np_.asarray(seqs[:, 0])
+            for i in range(b):
+                if chunk_lens[i] > 0:
+                    texts[i].append(best[i])
+        return texts

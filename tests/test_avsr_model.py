@@ -101,3 +101,36 @@ def test_avsr_grads_flow_only_to_trainable(rng):
     assert total(lambda p: "qformer" in p) > 0.0
     assert total(lambda p: "avfeat_to_llm" in p) > 0.0
     assert total(lambda p: "lora" in p) > 0.0
+
+
+def test_generate_long_form_chunks(rng):
+    """Long clip -> per-chunk decodes; chunk count tracks per-sample length."""
+    import jax
+
+    from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRSystem
+
+    cfg = AVSRConfig.tiny()
+    system = AVSRSystem(cfg)
+    batch = make_batch(rng, cfg)
+    variables = system.init(jax.random.PRNGKey(0), batch)
+
+    t_long = 3 * cfg.max_video_frames
+    long_batch = {
+        "video": jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (2, t_long, 24, 24, 1)
+            ).astype(np.float32)
+        ),
+        "video_lengths": jnp.asarray([t_long, cfg.max_video_frames], jnp.int32),
+        "audio_feats": jnp.concatenate([batch["audio_feats"]] * 3, axis=-1),
+        "instruction": batch["instruction"],
+    }
+    texts = system.generate_long_form(
+        variables, long_batch, chunk_frames=cfg.max_video_frames,
+        num_beams=2, max_new_tokens=4,
+    )
+    assert len(texts) == 2
+    assert len(texts[0]) == 3  # full-length sample: 3 chunks
+    assert len(texts[1]) == 1  # short sample: only the first chunk valid
+    for row in texts[0]:
+        assert row.shape == (4,)
