@@ -252,6 +252,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         jax.profiler.stop_trace()
         logger.info("profiler trace written to %s", cfg.common.profile_dir)
     tb.close()
+    ckpt.wait()  # join the final async write before handing off
     return last_val
 
 
@@ -306,6 +307,7 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         )
         if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
             stop = True
+    ckpt.wait()
     return last_val
 
 
@@ -383,6 +385,7 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
                 stop = True
         if cfg.optimization.max_epoch and epoch >= cfg.optimization.max_epoch:
             stop = True
+    ckpt.wait()
     return last_val
 
 

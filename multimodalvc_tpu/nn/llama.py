@@ -185,6 +185,55 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, positions, inv_freq)
 
         new_cache = None
+        rep = h // hkv
+        if cache is not None and "prompt_k" in cache:
+            # split cache: the prompt KV is SHARED across beams ([B, ...])
+            # while generated KV is per-beam ([B*K, ...]) — beam decode never
+            # re-reads K copies of identical prompt keys, and beam reorder
+            # only gathers the small generated segment.
+            idx = cache["index"]
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0)
+            )
+            new_cache = {**cache, "k": ck, "v": cv, "index": idx + t}
+            pk, pv = cache["prompt_k"], cache["prompt_v"]  # [B, hkv, Tp, d]
+            nb, tp = pk.shape[0], pk.shape[2]
+            kbeams = b // nb
+            scale = 1.0 / math.sqrt(hd)
+            # prompt segment: q against shared keys, no per-beam copies
+            pk_r = jnp.repeat(pk, rep, axis=1).astype(self.dtype)
+            pv_r = jnp.repeat(pv, rep, axis=1).astype(self.dtype)
+            q_r = q.reshape(nb, kbeams, h, t, hd)
+            s_p = jnp.einsum(
+                "bkhtd,bhpd->bkhtp", q_r, pk_r, preferred_element_type=jnp.float32
+            ) * scale
+            pmask = cache["prompt_mask"].astype(bool)  # [B, Tp]
+            s_p = jnp.where(pmask[:, None, None, None, :], s_p, -1e30)
+            s_p = s_p.reshape(b, h, t, tp)
+            # generated segment: per-beam, causal on write slots
+            k_g = jnp.repeat(ck, rep, axis=1).astype(self.dtype)
+            v_g = jnp.repeat(cv, rep, axis=1).astype(self.dtype)
+            s_g = jnp.einsum(
+                "Bhtd,Bhgd->Bhtg", q, k_g, preferred_element_type=jnp.float32
+            ) * scale
+            tg = k_g.shape[2]
+            gen_valid = jnp.arange(tg)[None, None, None, :] <= (idx + t - 1)
+            s_g = jnp.where(gen_valid, s_g, -1e30)
+            w = jax.nn.softmax(jnp.concatenate([s_p, s_g], axis=-1), axis=-1)
+            w_p, w_g = w[..., :tp], w[..., tp:]
+            out_p = jnp.einsum(
+                "bkhtp,bhpd->bkhtd", w_p.reshape(nb, kbeams, h, t, tp).astype(self.dtype), pv_r
+            ).reshape(b, h, t, hd)
+            out_g = jnp.einsum("Bhtg,Bhgd->Bhtd", w_g.astype(self.dtype), v_g)
+            out = out_p + out_g
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+            out = LoraDense(
+                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+            )(out, deterministic)
+            return out, new_cache
         if cache is not None:
             idx = cache["index"]  # scalar int32: write offset
             ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
@@ -192,7 +241,6 @@ class LlamaAttention(nn.Module):
             k, v = ck, cv
             new_cache = {"k": ck, "v": cv, "index": idx + t}
         # GQA: repeat kv heads
-        rep = h // hkv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
@@ -358,6 +406,7 @@ def generate_beam(
     length_penalty: float = 1.0,
     no_repeat_ngram_size: int = 0,
     cache_dtype=jnp.bfloat16,
+    share_prompt_kv: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HF-generate-equivalent beam search over embedded prompts.
 
@@ -374,50 +423,80 @@ def generate_beam(
     valid_lens = jnp.sum(attn_mask, axis=1)
 
     # --- prefill at batch B (beams share the prompt) ------------------------
+    prefill_len = t_prompt if share_prompt_kv else total
     cache = model.apply(
-        variables, method=LlamaModel.init_cache, batch=b, max_len=total, dtype=cache_dtype
+        variables, method=LlamaModel.init_cache, batch=b, max_len=prefill_len, dtype=cache_dtype
     )
     rope_pos = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)  # HF generate
     slot_pos = jnp.broadcast_to(jnp.arange(t_prompt)[None], (b, t_prompt))
-    full_mask = jnp.concatenate(
+    prefill_mask = attn_mask if share_prompt_kv else jnp.concatenate(
         [attn_mask, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
     )
     out = model.apply(
         variables,
         inputs_embeds=inputs_embeds,
-        attn_mask=full_mask,
+        attn_mask=prefill_mask,
         positions=rope_pos,
         cache=cache,
         cache_positions=slot_pos,
     )
     first_logits = out["logits"][:, -1]  # [B, V]
 
-    # --- tile cache to beams -------------------------------------------------
-    def tile(x):
-        if x.ndim == 0:
-            return x
-        return jnp.repeat(x, k, axis=0)
-
-    cache_k = jax.tree.map(tile, out["cache"])
-    prompt_mask_k = jnp.repeat(attn_mask, k, axis=0)  # [B*K, T_prompt]
-    gen_slot_ids = jnp.arange(max_new_tokens)[None, :]
-
-    def decode_fn(tokens, positions, cache):
-        idx = cache[0]["index"]  # scalar: next write slot
-        gen_mask = (gen_slot_ids <= idx - t_prompt).astype(jnp.int32)
-        step_mask = jnp.concatenate(
-            [prompt_mask_k, jnp.broadcast_to(gen_mask, (b * k, max_new_tokens))], axis=1
+    if share_prompt_kv:
+        # split cache: prompt KV stays at batch B (shared across beams);
+        # only the generated segment is per-beam.  Saves (K-1)/K of the
+        # prompt-KV HBM reads per decode step and shrinks beam reordering
+        # to the generated segment.
+        cfg_m = model.cfg
+        gen_shape = (b * k, cfg_m.num_kv_heads, max_new_tokens, cfg_m.head_dim)
+        cache_k = tuple(
+            {
+                "prompt_k": c["k"],
+                "prompt_v": c["v"],
+                "prompt_mask": attn_mask,
+                "k": jnp.zeros(gen_shape, cache_dtype),
+                "v": jnp.zeros(gen_shape, cache_dtype),
+                "index": jnp.zeros((), jnp.int32),
+            }
+            for c in out["cache"]
         )
-        slot = jnp.full((b * k, 1), idx, jnp.int32)
-        o = model.apply(
-            variables,
-            input_ids=tokens,
-            attn_mask=step_mask,
-            positions=positions,
-            cache=cache,
-            cache_positions=slot,
-        )
-        return o["logits"][:, -1], o["cache"]
+
+        def decode_fn(tokens, positions, cache):
+            o = model.apply(
+                variables,
+                input_ids=tokens,
+                attn_mask=None,
+                positions=positions,
+                cache=cache,
+            )
+            return o["logits"][:, -1], o["cache"]
+    else:
+        # --- tile cache to beams ---------------------------------------------
+        def tile(x):
+            if x.ndim == 0:
+                return x
+            return jnp.repeat(x, k, axis=0)
+
+        cache_k = jax.tree.map(tile, out["cache"])
+        prompt_mask_k = jnp.repeat(attn_mask, k, axis=0)  # [B*K, T_prompt]
+        gen_slot_ids = jnp.arange(max_new_tokens)[None, :]
+
+        def decode_fn(tokens, positions, cache):
+            idx = cache[0]["index"]  # scalar: next write slot
+            gen_mask = (gen_slot_ids <= idx - t_prompt).astype(jnp.int32)
+            step_mask = jnp.concatenate(
+                [prompt_mask_k, jnp.broadcast_to(gen_mask, (b * k, max_new_tokens))], axis=1
+            )
+            slot = jnp.full((b * k, 1), idx, jnp.int32)
+            o = model.apply(
+                variables,
+                input_ids=tokens,
+                attn_mask=step_mask,
+                positions=positions,
+                cache=cache,
+                cache_positions=slot,
+            )
+            return o["logits"][:, -1], o["cache"]
 
     return beam_search(
         decode_fn,
