@@ -166,3 +166,29 @@ def test_composite_optimizer_routes_groups():
     np.testing.assert_allclose(np.asarray(updates["encoder"]["w"]), -0.1, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(updates["head"]["w"]), -1.0, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(updates["other"]["w"]), 0.0)  # frozen default
+
+
+def test_reproducibility_same_seed_same_losses(rng):
+    """Two trainer runs from the same seed produce identical metrics
+    (reference analog: fairseq tests/test_reproducibility.py)."""
+    from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRSystem
+
+    def run(seed):
+        cfg = AVSRConfig.tiny()
+        system = AVSRSystem(cfg)
+        batch = make_batch(np.random.default_rng(3), cfg)
+        variables = system.init(jax.random.PRNGKey(seed), batch)
+        trainer = Trainer(
+            system.make_trainer_loss_fn(),
+            variables["params"],
+            {k: v for k, v in variables.items() if k != "params"},
+            OptimizationConfig(lr=1e-3, warmup_updates=1, max_update=10, update_freq=1),
+            mesh=None,
+            frozen_patterns=system.frozen_patterns(),
+        )
+        return [float(trainer.train_step(batch)["loss"]) for _ in range(3)]
+
+    a, b = run(0), run(0)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)  # bitwise identical
+    c = run(1)
+    assert a != c  # different init seed changes the trajectory
