@@ -82,6 +82,8 @@ class OptimizationConfig:
     lr_scheduler: str = "cosine"
     warmup_updates: int = 500
     min_lr: float = 1e-6
+    # manual scheduler milestones: {step: lr}
+    lr_milestones: Optional[Dict[str, float]] = None
     # probability floor for skipping a step on non-finite grads
     skip_nonfinite_grads: bool = True
 

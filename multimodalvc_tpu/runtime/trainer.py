@@ -126,6 +126,27 @@ def build_optimizer(
                 ],
                 [opt_cfg.warmup_updates],
             )
+    elif opt_cfg.lr_scheduler == "triangular":
+        # cyclical LR between min_lr and lr (reference:
+        # optim/lr_scheduler/triangular_lr_scheduler.py); period = 2*warmup
+        period = 2 * max(opt_cfg.warmup_updates, 1)
+
+        def schedule(step):
+            phase = jnp.mod(jnp.asarray(step, jnp.float32), period) / (period / 2)
+            tri = jnp.where(phase < 1.0, phase, 2.0 - phase)
+            return opt_cfg.min_lr + (opt_cfg.lr - opt_cfg.min_lr) * tri
+
+    elif opt_cfg.lr_scheduler == "manual":
+        # piecewise-constant from lr_milestones {step: lr} (reference:
+        # optim/lr_scheduler/manual_lr_scheduler.py)
+        points = sorted((int(k), float(v)) for k, v in (opt_cfg.lr_milestones or {}).items())
+        bounds = jnp.asarray([p[0] for p in points], jnp.int32)
+        values = jnp.asarray([opt_cfg.lr] + [p[1] for p in points], jnp.float32)
+
+        def schedule(step):
+            idx = jnp.sum(jnp.asarray(step, jnp.int32) >= bounds)
+            return values[idx]
+
     elif opt_cfg.lr_scheduler == "fixed":
         schedule = optax.constant_schedule(opt_cfg.lr)
     else:

@@ -192,3 +192,40 @@ def test_reproducibility_same_seed_same_losses(rng):
     np.testing.assert_allclose(a, b, rtol=0, atol=0)  # bitwise identical
     c = run(1)
     assert a != c  # different init seed changes the trajectory
+
+
+def test_triangular_and_manual_schedules():
+    import optax
+
+    from multimodalvc_tpu.config.configs import OptimizationConfig
+    from multimodalvc_tpu.runtime.trainer import build_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    # triangular: peak at warmup, back to floor at 2*warmup
+    cfg = OptimizationConfig(lr_scheduler="triangular", lr=1.0, min_lr=0.1,
+                             warmup_updates=10, optimizer="sgd", clip_norm=0)
+    tx, _ = build_optimizer(cfg, params, [])
+    state = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    lrs = []
+    p = params
+    for _ in range(21):
+        prev = p["w"][0]
+        u, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, u)
+        lrs.append(float(prev - p["w"][0]))
+    assert abs(lrs[10] - 1.0) < 0.1  # peak near step 10
+    assert lrs[0] < 0.3 and lrs[20] < 0.3  # floors at the cycle ends
+
+    cfg2 = OptimizationConfig(lr_scheduler="manual", lr=0.5, optimizer="sgd",
+                              clip_norm=0, lr_milestones={"5": 0.25, "10": 0.125})
+    tx2, _ = build_optimizer(cfg2, params, [])
+    state2 = tx2.init(params)
+    p = params
+    lrs2 = []
+    for _ in range(12):
+        prev = p["w"][0]
+        u, state2 = tx2.update(g, state2, p)
+        p = optax.apply_updates(p, u)
+        lrs2.append(round(float(prev - p["w"][0]), 4))
+    assert lrs2[0] == 0.5 and lrs2[6] == 0.25 and lrs2[11] == 0.125
