@@ -121,6 +121,22 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
     params = variables["params"]
     collections = {k: v for k, v in variables.items() if k != "params"}
 
+    if cfg.checkpoint.init_from_pt:
+        # warm start from a reference product .pt (trainable weights only —
+        # Q-Former, projector, LoRA adapters; src/model.py:268-271 strips
+        # frozen params, so encoders keep their own imported weights)
+        from ..interop.avsr_import import import_reference_avsr, merge_subtree
+        from ..runtime.pt_loader import flatten_state_dict, load_pt
+
+        raw = load_pt(cfg.checkpoint.init_from_pt)
+        state = raw.get("model", raw) if isinstance(raw, dict) else raw
+        updates = import_reference_avsr(flatten_state_dict(state))
+        params = jax.tree.map(np.asarray, params)
+        n = merge_subtree(params, updates)
+        logger.info(
+            "imported %d leaves from %s", n, cfg.checkpoint.init_from_pt
+        )
+
     trainer = Trainer(
         task.make_loss_fn(),
         params,

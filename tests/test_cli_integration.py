@@ -199,3 +199,31 @@ def test_cli_dummy_benchmark_task(tmp_path):
     cfg = from_dict(TrainRootConfig, tree)
     val = train_main(cfg)
     assert np.isfinite(val["loss"])
+
+
+def test_cli_init_from_reference_pt(corpus, tmp_path):
+    """Warm-starting AVSR training from a reference product .pt imports the
+    trainable weights before the first step."""
+    import torch
+
+    import jax
+    from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRSystem
+
+    from tests.test_avsr_import import _synthetic_reference_state
+    from tests.test_avsr_model import make_batch
+
+    rng2 = np.random.default_rng(5)
+    cfg_m = AVSRConfig.tiny()
+    system = AVSRSystem(cfg_m)
+    variables = system.init(jax.random.PRNGKey(1), make_batch(rng2, cfg_m))
+    params = jax.tree.map(np.asarray, variables["params"])
+    st = _synthetic_reference_state(params, rng2)
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in st.items()}},
+               tmp_path / "ref.pt")
+
+    root, noise = corpus
+    cfg = _cfg(root, noise, str(tmp_path / "ckpt_init"))
+    cfg.optimization.max_update = 1
+    cfg.checkpoint.init_from_pt = str(tmp_path / "ref.pt")
+    val = train_main(cfg)
+    assert np.isfinite(val["loss"])
