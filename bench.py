@@ -13,6 +13,7 @@ cost is identical to the pretrained model.
 """
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -233,6 +234,7 @@ def main():
         "vs_baseline": round(rtf / 10.0, 3),
     }
     print(json.dumps(result))
+    # supporting detail goes to stderr so stdout carries exactly ONE JSON line
     print(
         json.dumps(
             {
@@ -247,7 +249,8 @@ def main():
                     "backend": jax.default_backend(),
                 }
             }
-        )
+        ),
+        file=sys.stderr,
     )
 
 
