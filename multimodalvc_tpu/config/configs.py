@@ -84,6 +84,16 @@ class OptimizationConfig:
     min_lr: float = 1e-6
     # manual scheduler milestones: {step: lr}
     lr_milestones: Optional[Dict[str, float]] = None
+    # triangular scheduler (reference:
+    # fairseq/fairseq/optim/lr_scheduler/triangular_lr_scheduler.py):
+    # full cycle length in updates (0 -> 2*warmup_updates) and per-cycle
+    # peak shrink factor (1.0 -> no annealing)
+    lr_period_updates: int = 0
+    lr_shrink: float = 1.0
+    # tri_stage phase fractions (warmup, hold, decay) of max_update
+    # (reference: tri_stage_lr_scheduler.py phase_ratio); None keeps the
+    # warmup_updates-based split with a 40% hold
+    phase_ratio: Optional[Tuple[float, float, float]] = None
     # probability floor for skipping a step on non-finite grads
     skip_nonfinite_grads: bool = True
 

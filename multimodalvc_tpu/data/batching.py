@@ -63,21 +63,20 @@ def batch_by_size(
         over_tokens = max_tokens is not None and n * new_bucket > max_tokens
         over_batch = batch_size is not None and n > batch_size
         if cur and (over_tokens or over_batch or b != cur_bucket):
-            batches.append(np.asarray(_trim(cur, required_multiple)))
-            cur, cur_bucket = [], 0
-            new_bucket = b
+            # fairseq remainder carry (data_utils_fast.pyx mod_len): flush the
+            # largest required_multiple-aligned prefix; the remainder CARRIES
+            # into the next batch — no sample is ever dropped.
+            keep = len(cur)
+            if required_multiple > 1 and len(cur) >= required_multiple:
+                keep = (len(cur) // required_multiple) * required_multiple
+            batches.append(np.asarray(cur[:keep]))
+            cur = cur[keep:]
+            new_bucket = b  # carried items are shorter (sorted order)
         cur.append(int(idx))
         cur_bucket = new_bucket
     if cur:
-        batches.append(np.asarray(_trim(cur, required_multiple, final=True)))
+        batches.append(np.asarray(cur))  # final remainder batch kept whole
     return _shuffled(batches, shuffle_seed)
-
-
-def _trim(batch: List[int], multiple: int, final: bool = False) -> List[int]:
-    if multiple <= 1 or len(batch) < multiple:
-        return batch
-    keep = (len(batch) // multiple) * multiple
-    return batch[:keep] if keep else batch
 
 
 def _shuffled(batches: List[np.ndarray], seed: Optional[int]) -> List[np.ndarray]:
@@ -91,10 +90,10 @@ def _shuffled(batches: List[np.ndarray], seed: Optional[int]) -> List[np.ndarray
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Repeat trailing rows so dim 0 of every array is a mesh multiple.
 
-    Data-parallel sharding needs batch % (data*fsdp) == 0; small final
-    batches are padded by repetition (their duplicated rows inflate sums by
-    <1 batch per epoch — the reference instead drops remainders via
-    required_batch_size_multiple, which loses data).
+    Data-parallel sharding needs batch % (data*fsdp) == 0; small final /
+    remainder batches are padded by repetition (duplicated rows inflate sums
+    by <1 batch per epoch; batch_by_size itself never drops samples —
+    remainders carry, matching fairseq data_utils_fast.pyx).
     """
     sizes = {v.shape[0] for v in batch.values() if hasattr(v, "ndim") and v.ndim >= 1}
     if not sizes:

@@ -29,15 +29,18 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
-            )
-        except Exception as e:  # no compiler / sandbox
+    # Always invoke make: its timestamp check rebuilds the .so whenever any
+    # .cpp source is newer, so edits never silently load a stale binary.
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
+        )
+    except Exception as e:  # no compiler / sandbox
+        if not os.path.exists(_LIB_PATH):
             logger.info("native build unavailable (%s); using Python fallbacks", e)
             _build_failed = True
             return None
+        logger.info("native rebuild failed (%s); loading existing binary", e)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:
@@ -103,18 +106,15 @@ def batch_by_size_native(
         ctypes.c_int64(len(buckets64)),
         ctypes.c_int64(max_tokens),
         ctypes.c_int64(batch_size),
+        ctypes.c_int64(required_multiple),
         _i32ptr(out),
     )
+    # remainder carry happens inside the C++ loop (fairseq semantics);
+    # every index appears in exactly one batch.
     batches: List[List[int]] = [[] for _ in range(int(n_batches))]
     for pos, bid in enumerate(out):
         batches[int(bid)].append(int(order64[pos]))
-    result = []
-    for blist in batches:
-        if required_multiple > 1 and len(blist) >= required_multiple:
-            keep = (len(blist) // required_multiple) * required_multiple
-            blist = blist[:keep] if keep else blist
-        result.append(np.asarray(blist))
-    return result
+    return [np.asarray(blist) for blist in batches]
 
 
 def balanced_assignment(scores: np.ndarray) -> np.ndarray:

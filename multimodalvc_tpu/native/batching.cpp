@@ -6,6 +6,11 @@
 //
 // Inputs: sizes[n], order[n] (length-sorted indices), buckets[nb] ascending.
 // Output: out_batch_ids[i] = batch index of order[i].  Returns #batches.
+//
+// required_multiple follows fairseq semantics (data_utils_fast.pyx
+// mod_len = max(k*(len//k), len%k)): when a batch flushes at a size that is
+// not a multiple of k, the remainder CARRIES into the next batch — no sample
+// is ever dropped.  The final batch keeps its remainder as-is.
 #include <cstdint>
 
 extern "C" {
@@ -18,7 +23,8 @@ static inline int64_t bucket_of(int64_t len, const int64_t* buckets, int64_t nb)
 
 int64_t mmvc_batch_by_size(const int64_t* sizes, const int64_t* order, int64_t n,
                            const int64_t* buckets, int64_t nb, int64_t max_tokens,
-                           int64_t batch_size, int32_t* out_batch_ids) {
+                           int64_t batch_size, int64_t required_multiple,
+                           int32_t* out_batch_ids) {
   int64_t batch = 0;
   int64_t count = 0;
   int64_t cur_bucket = 0;
@@ -28,8 +34,16 @@ int64_t mmvc_batch_by_size(const int64_t* sizes, const int64_t* order, int64_t n
     const bool over_tokens = max_tokens > 0 && (count + 1) * new_bucket > max_tokens;
     const bool over_batch = batch_size > 0 && count + 1 > batch_size;
     if (count > 0 && (over_tokens || over_batch || b != cur_bucket)) {
+      int64_t keep = count;
+      if (required_multiple > 1 && count >= required_multiple)
+        keep = (count / required_multiple) * required_multiple;
+      const int64_t rem = count - keep;
+      // retro-assign the carried tail (positions i-rem .. i-1) to the new
+      // batch; order is length-sorted so their buckets are <= b.
+      for (int64_t j = i - rem; j < i; ++j)
+        out_batch_ids[j] = static_cast<int32_t>(batch + 1);
       ++batch;
-      count = 0;
+      count = rem;
       new_bucket = b;
     }
     out_batch_ids[i] = static_cast<int32_t>(batch);

@@ -31,6 +31,19 @@ def _kp_str(kp) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
 
 
+def _swap_dirs(tmp: str, path: str) -> None:
+    """Atomically replace ``path`` with ``tmp``: the old copy is moved aside
+    before the rename and only deleted afterwards, so every instant has a
+    complete checkpoint at ``path`` or ``path.old``."""
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _select_like(template: Any, raw: Any) -> Any:
     """Pick template-shaped leaves out of a (possibly larger) restored tree.
     Orbax restores dicts with string keys; tuples/lists in the template
@@ -97,6 +110,12 @@ class CheckpointManager:
                 except Exception:
                     self._async = None
             self._ckptr = ocp.PyTreeCheckpointer()
+        self._pending: List[tuple] = []  # (tmp_path, final_path) async swaps
+        # clean stray .tmp/.old dirs from a crashed earlier run — the final
+        # checkpoints are intact by construction (_write swaps after commit)
+        for n in os.listdir(self.save_dir):
+            if n.endswith(".tmp") or n.endswith(".old"):
+                shutil.rmtree(os.path.join(self.save_dir, n), ignore_errors=True)
         self._meta_path = os.path.join(self.save_dir, "meta.json")
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
@@ -157,22 +176,36 @@ class CheckpointManager:
             shutil.rmtree(self._path(f"checkpoint_{s}"), ignore_errors=True)
 
     def _write(self, tree: Any, name: str) -> None:
+        """Crash-safe write: save to a ``.tmp`` sibling, then atomically swap
+        over the old checkpoint once the save is finalized.  A crash mid-save
+        leaves the previous checkpoint_last/checkpoint_best intact (the
+        stray .tmp is cleaned up on the next run)."""
         path = self._path(name)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         if self._async is not None:
-            self._async.wait_until_finished()  # join any in-flight write
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        if self._async is not None:
-            self._async.save(path, tree)
-        elif self._ckptr is not None:
-            self._ckptr.save(path, tree)
+            self._finalize_pending()  # join + swap any in-flight write
+            self._async.save(tmp, tree)
+            self._pending.append((tmp, path))
+            return
+        if self._ckptr is not None:
+            self._ckptr.save(tmp, tree)
         else:  # numpy fallback: arrays keyed by tree path
-            os.makedirs(path, exist_ok=True)
+            os.makedirs(tmp, exist_ok=True)
             flat = {
                 _kp_str(kp): leaf
                 for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
             }
-            np.savez(os.path.join(path, "arrays.npz"), **flat)
+            np.savez(os.path.join(tmp, "arrays.npz"), **flat)
+        _swap_dirs(tmp, path)
+
+    def _finalize_pending(self) -> None:
+        if self._async is not None:
+            self._async.wait_until_finished()
+        while self._pending:
+            tmp, path = self._pending.pop(0)
+            _swap_dirs(tmp, path)
 
     def restore(self, template: Any, name: str = "checkpoint_last") -> Optional[Any]:
         """Restore ``template``'s leaves from the checkpoint.  The template
@@ -199,9 +232,9 @@ class CheckpointManager:
         )
 
     def wait(self) -> None:
-        """Block until any in-flight async write has committed."""
-        if self._async is not None:
-            self._async.wait_until_finished()
+        """Block until any in-flight async write has committed (and swapped
+        into its final path)."""
+        self._finalize_pending()
 
     @property
     def meta(self) -> Dict[str, Any]:

@@ -90,11 +90,18 @@ def build_optimizer(
 
     elif opt_cfg.lr_scheduler == "tri_stage":
         # warmup -> hold -> exponential decay (reference:
-        # fairseq/fairseq/optim/lr_scheduler/tri_stage_lr_scheduler.py)
+        # fairseq/fairseq/optim/lr_scheduler/tri_stage_lr_scheduler.py);
+        # phase_ratio splits max_update like the reference's cfg.phase_ratio
         total = max(opt_cfg.max_update, 1)
-        warm = max(opt_cfg.warmup_updates, 1)
-        hold = max(int(0.4 * total) - warm, 0)
-        decay = max(total - warm - hold, 1)
+        if opt_cfg.phase_ratio is not None:
+            r = opt_cfg.phase_ratio
+            warm = max(int(r[0] * total), 1)
+            hold = max(int(r[1] * total), 0)
+            decay = max(int(r[2] * total), 1)
+        else:
+            warm = max(opt_cfg.warmup_updates, 1)
+            hold = max(int(0.4 * total) - warm, 0)
+            decay = max(total - warm - hold, 1)
         final_scale = max(opt_cfg.min_lr / max(opt_cfg.lr, 1e-12), 1e-8)
 
         def schedule(step):
@@ -127,14 +134,21 @@ def build_optimizer(
                 [opt_cfg.warmup_updates],
             )
     elif opt_cfg.lr_scheduler == "triangular":
-        # cyclical LR between min_lr and lr (reference:
-        # optim/lr_scheduler/triangular_lr_scheduler.py); period = 2*warmup
-        period = 2 * max(opt_cfg.warmup_updates, 1)
+        # cyclical LR between min_lr and lr with per-cycle peak shrink
+        # (reference: optim/lr_scheduler/triangular_lr_scheduler.py —
+        # cycle = floor(t / period); max_lr *= lr_shrink**cycle;
+        # lr = min_lr + (max_lr - min_lr) * max(0, 1 - |t/half - 2(cycle+1) + 1|)
+        period = max(opt_cfg.lr_period_updates, 0) or 2 * max(opt_cfg.warmup_updates, 1)
+        half = period / 2.0
+        shrink = float(opt_cfg.lr_shrink)
 
         def schedule(step):
-            phase = jnp.mod(jnp.asarray(step, jnp.float32), period) / (period / 2)
-            tri = jnp.where(phase < 1.0, phase, 2.0 - phase)
-            return opt_cfg.min_lr + (opt_cfg.lr - opt_cfg.min_lr) * tri
+            t = jnp.asarray(step, jnp.float32)
+            cycle = jnp.floor(t / period)
+            peak = opt_cfg.lr * jnp.power(shrink, cycle)
+            x = jnp.abs(t / half - 2.0 * (cycle + 1.0) + 1.0)
+            tri = jnp.maximum(0.0, 1.0 - x)
+            return opt_cfg.min_lr + jnp.maximum(peak - opt_cfg.min_lr, 0.0) * tri
 
     elif opt_cfg.lr_scheduler == "manual":
         # piecewise-constant from lr_milestones {step: lr} (reference:
@@ -353,18 +367,33 @@ class Trainer:
 
 def _mirror_opt_specs(opt_state, params, param_specs):
     """Give optimizer moments the same sharding as their params (ZeRO-ish:
-    with fsdp>1 the moments are sharded exactly like the weights)."""
-    flat_params = jax.tree_util.tree_flatten(params)[0]
-    flat_specs = jax.tree_util.tree_flatten(
+    with fsdp>1 the moments are sharded exactly like the weights).
+
+    Moments live in the optimizer state as subtrees whose leaf paths END
+    WITH the param's own tree path (e.g. .../mu/encoder/layer_0/kernel), so
+    matching is by path-suffix + shape — two distinct params with identical
+    shapes (q_proj vs o_proj under TP) cannot alias each other's spec."""
+    param_paths = []  # (path string, shape, spec)
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(
         param_specs, is_leaf=lambda x: isinstance(x, P)
     )[0]
-    shape_to_spec = {}
-    for p, s in zip(flat_params, flat_specs):
-        shape_to_spec.setdefault((p.shape, p.dtype), s)
+    for (kp, leaf), (_, spec) in zip(flat_p, flat_s):
+        param_paths.append((path_str(kp), getattr(leaf, "shape", None), spec))
+    # longest paths first so a path that happens to be another's suffix
+    # (never the case for full param paths, but cheap insurance) wins
+    param_paths.sort(key=lambda t: -len(t[0]))
 
-    def assign(leaf):
-        if hasattr(leaf, "shape") and (leaf.shape, leaf.dtype) in shape_to_spec:
-            return shape_to_spec[(leaf.shape, leaf.dtype)]
+    def assign(kp, leaf):
+        if not hasattr(leaf, "shape"):
+            return P()
+        p = path_str(kp)
+        for ppath, shape, spec in param_paths:
+            if leaf.shape == shape and (
+                p == ppath
+                or (p.endswith(ppath) and p[-len(ppath) - 1] == "/")
+            ):
+                return spec
         return P()
 
-    return jax.tree.map(assign, opt_state)
+    return jax.tree_util.tree_map_with_path(assign, opt_state)
