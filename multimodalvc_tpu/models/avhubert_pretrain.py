@@ -77,7 +77,7 @@ class AVHubertPretrainModel(nn.Module):
             v = jnp.zeros_like(a)
 
         x = jnp.concatenate([a, v], axis=-1) if ec.modality_fuse == "concat" else a + v
-        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         if x.shape[-1] != d:
             x = nn.Dense(d, dtype=self.dtype, name="post_extract_proj")(x)
 

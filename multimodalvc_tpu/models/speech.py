@@ -96,17 +96,17 @@ class SpeechHead(nn.Module):
         cfg = self.cfg
         x = nn.Dense(cfg.proj_mid_dim, dtype=self.dtype, name="proj1")(tokens)
         if self.use_layer_norms:
-            x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
         x = linear_resize_batched(x, token_lens, mel_lens, cfg.max_mel_frames)
         x = nn.Dense(cfg.head_dim, dtype=self.dtype, name="proj2")(x)
         if self.use_layer_norms:
-            x = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
         conf_cfg = ConformerConfig.sized(cfg.conformer_size)
         x = ConformerEncoder(conf_cfg, dtype=self.dtype, name="conformer")(
             x, lengths=mel_lens, deterministic=not train
         )
         if self.use_layer_norms:
-            x = nn.LayerNorm(dtype=self.dtype, name="ln3")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln3")(x)
         if self.emit_mel:
             return nn.Dense(MEL_BINS, dtype=self.dtype, name="mel_head")(x)
         return x  # [B, T_mel, head_dim] for the E2E vocoder stack

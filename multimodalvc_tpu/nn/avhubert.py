@@ -97,7 +97,7 @@ class AVHubertModel(nn.Module):
         else:
             raise ValueError(cfg.modality_fuse)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         if x.shape[-1] != d:
             x = nn.Dense(d, dtype=self.dtype, name="post_extract_proj")(x)
         x = TransformerEncoder(
@@ -144,16 +144,15 @@ def _bn(state, src):
     return params, stats
 
 
-def import_torch_avhubert(state: Dict[str, np.ndarray], cfg: AVHubertConfig):
-    """Map a fairseq AV-HuBERT 'model' state dict (avhubert/hubert.py keys,
-    loaded at src/model.py:191-224) onto AVHubertModel variables."""
-    params: Dict[str, dict] = {}
-    batch_stats: Dict[str, dict] = {}
-
-    # --- video resnet ------------------------------------------------------
+def map_resnet(state: Dict[str, np.ndarray], prefix: str):
+    """Map a reference ResEncoder state dict (avhubert/resnet.py:131-169;
+    keys frontend3D.* + trunk.layer{1..4}.{0,1}.*) onto our nn/resnet
+    ResEncoder (params, batch_stats) subtrees.  ``prefix`` locates the
+    ResEncoder inside a larger checkpoint (e.g.
+    'feature_extractor_video.resnet.' inside an AV-HuBERT state dict)."""
     res_p: Dict[str, dict] = {}
     res_s: Dict[str, dict] = {}
-    pre = "feature_extractor_video.resnet"
+    pre = prefix.rstrip(".")
     # torch conv3d [O, I, kT, kH, kW] -> flax [kT, kH, kW, I, O]
     res_p["frontend_conv"] = {
         "kernel": jnp.asarray(
@@ -192,6 +191,16 @@ def import_torch_avhubert(state: Dict[str, np.ndarray], cfg: AVHubertConfig):
             trunk_s[f"layer{li}_{b}"] = blk_s
     res_p["trunk"] = trunk_p
     res_s["trunk"] = trunk_s
+    return res_p, res_s
+
+
+def import_torch_avhubert(state: Dict[str, np.ndarray], cfg: AVHubertConfig):
+    """Map a fairseq AV-HuBERT 'model' state dict (avhubert/hubert.py keys,
+    loaded at src/model.py:191-224) onto AVHubertModel variables."""
+    params: Dict[str, dict] = {}
+    batch_stats: Dict[str, dict] = {}
+
+    res_p, res_s = map_resnet(state, "feature_extractor_video.resnet.")
     params["video_resnet"] = res_p
     batch_stats["video_resnet"] = res_s
 

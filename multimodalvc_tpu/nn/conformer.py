@@ -108,13 +108,13 @@ class ConformerBlock(nn.Module):
             return h
 
         if cfg.macaron:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
+            h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_ff_macaron")(x)
             x = x + 0.5 * drop(
                 PositionwiseFF(cfg.linear_units, cfg.dropout_rate, self.dtype, name="ff_macaron")(
                     h, deterministic
                 )
             )
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_mha")(x)
         x = x + drop(
             MultiHeadAttention(
                 num_heads=cfg.attention_heads,
@@ -123,17 +123,17 @@ class ConformerBlock(nn.Module):
                 name="self_attn",
             )(h, kv_lens=lengths, deterministic=deterministic)
         )
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_conv")(x)
         x = x + drop(
             ConformerConvModule(cfg.cnn_kernel, self.dtype, name="conv_module")(h, deterministic)
         )
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(x)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_ff")(x)
         x = x + 0.5 * drop(
             PositionwiseFF(cfg.linear_units, cfg.dropout_rate, self.dtype, name="ff")(
                 h, deterministic
             )
         )
-        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_final")(x)
 
 
 class ConformerEncoder(nn.Module):
@@ -159,5 +159,5 @@ class ConformerEncoder(nn.Module):
                 x, lengths=lengths, deterministic=deterministic
             )
         if cfg.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="after_norm")(x)
         return x

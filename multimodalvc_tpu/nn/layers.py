@@ -206,8 +206,8 @@ class TransformerLayer(nn.Module):
             if self.dropout > 0 and not deterministic
             else h
         )
-        ln1 = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
-        ln2 = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")
 
         if self.layer_norm_first:
             x = x + drop(attn(ln1(x)))
@@ -248,7 +248,7 @@ class TransformerEncoder(nn.Module):
         )(x)
         # fairseq wav2vec2 TransformerEncoder: the outer LayerNorm runs before
         # the stack for post-LN models and after it for pre-LN models
-        ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")
         if not self.layer_norm_first:
             x = ln(x)
         if self.dropout > 0 and not deterministic:

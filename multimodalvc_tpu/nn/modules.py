@@ -42,7 +42,7 @@ class MultimodalAttention(nn.Module):
             video, audio, kv_lens=kv_lens
         )
         x = x + audio
-        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         x2 = MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype, name="mha1")(
             video, audio, kv_lens=kv_lens
         )

@@ -63,7 +63,7 @@ class _DecoderLayer(nn.Module):
 
         # self attention (post-LN like fairseq's default decoder)
         res = x
-        x = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")(x)
         q = heads(nn.Dense(cfg.d_model, dtype=self.dtype, name="self_q")(x))
         k = heads(nn.Dense(cfg.d_model, dtype=self.dtype, name="self_k")(x))
         v = heads(nn.Dense(cfg.d_model, dtype=self.dtype, name="self_v")(x))
@@ -85,7 +85,7 @@ class _DecoderLayer(nn.Module):
 
         # cross attention
         res = x
-        x = nn.LayerNorm(dtype=self.dtype, name="encoder_attn_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="encoder_attn_layer_norm")(x)
         q = heads(nn.Dense(cfg.d_model, dtype=self.dtype, name="cross_q")(x))
         ek = heads(nn.Dense(cfg.d_model, dtype=self.dtype, name="cross_k")(enc))
         ev = heads(nn.Dense(cfg.d_model, dtype=self.dtype, name="cross_v")(enc))
@@ -97,7 +97,7 @@ class _DecoderLayer(nn.Module):
 
         # FFN
         res = x
-        x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         x = res + FeedForward(hidden_dim=cfg.ffn_dim, dropout=cfg.dropout, dtype=self.dtype)(
             x, deterministic=deterministic
         )
@@ -118,7 +118,7 @@ class Seq2SeqDecoder(nn.Module):
             _DecoderLayer(self.cfg, self.dtype, name=f"layers_{i}")
             for i in range(self.cfg.num_layers)
         ]
-        self.out_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.out_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")
         self._pos = sinusoidal_positions(self.cfg.max_positions, self.cfg.d_model)
 
     def init_cache(self, batch: int, max_len: int) -> Tuple:

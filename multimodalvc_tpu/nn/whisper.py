@@ -48,13 +48,13 @@ class WhisperEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, lengths=None, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")(x)
         # HF Whisper: k_proj has no bias
         h = WhisperAttention(self.cfg.num_heads, dtype=self.dtype, name="self_attn")(
             h, kv_lens=lengths
         )
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         h = FeedForward(self.cfg.ffn_dim, dtype=self.dtype, name="ffn")(h, deterministic)
         return x + h
 
@@ -114,7 +114,7 @@ class WhisperEncoder(nn.Module):
             x = WhisperEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(
                 x, lengths=out_lengths, deterministic=deterministic
             )
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
 
 
 # ---------------------------------------------------------------------------
