@@ -43,7 +43,6 @@ def main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float
 def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, float]:
     task = build_task(cfg)
     ds = task.load_dataset("test")
-    tok = ds.tokenizer
 
     sample_idx = ds.batches(max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size)[0]
     sample = task.prepare_batch(ds.collate([ds[int(i)] for i in sample_idx]))
@@ -60,7 +59,6 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
     else:
         logger.warning("no checkpoint found at %s — evaluating random init", cfg.checkpoint.save_dir)
 
-    system = task.system
     hyps: List[str] = []
     refs: List[str] = []
     results = []
@@ -68,24 +66,8 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
         ds, ds.batches(max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size)
     ):
         batch = task.prepare_batch(raw)
-        gen_batch = {k: v for k, v in batch.items() if k not in ("labels", "label_lengths")}
-        seqs, _ = system.generate(
-            variables,
-            gen_batch,
-            num_beams=cfg.generation.beam,
-            max_new_tokens=cfg.generation.max_len,
-            length_penalty=cfg.generation.length_penalty,
-            no_repeat_ngram_size=cfg.generation.no_repeat_ngram_size,
-        )
-        best = np.asarray(seqs[:, 0])
-        for row, sample_id in zip(best, raw["ids"]):
-            toks = []
-            for t in row.tolist():
-                if t == task.model_cfg.eos_token_id:
-                    break
-                toks.append(t)
-            hyp = tok.decode(toks)
-            ref = ds.manifest.labels[int(sample_id)] if ds.manifest.labels else ""
+        h, r = task.decode_to_text(variables, batch, raw["ids"], ds, cfg.generation)
+        for sample_id, hyp, ref in zip(raw["ids"], h, r):
             hyps.append(hyp)
             refs.append(ref)
             results.append({"id": int(sample_id), "hypo": hyp, "ref": ref})

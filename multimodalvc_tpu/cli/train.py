@@ -236,11 +236,38 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         v_batches = valid_ds.batches(
             max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
         )
-        for raw in PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers):
+        wer_hyps: list = []
+        wer_refs: list = []
+        wer_budget = cfg.dataset.valid_wer_batches
+        can_wer = (
+            wer_budget != 0
+            and hasattr(task, "decode_to_text")
+            and getattr(valid_ds.manifest, "labels", None)
+        )
+        for bi, raw in enumerate(
+            PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers)
+        ):
             vb = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
             vm = valid_step(trainer.state.params, trainer.state.collections, vb)
             val_agg.update({k: float(v) for k, v in vm.items()})
+            # validation-time beam WER (reference: src/criterion.py:100-134
+            # decodes with beam search every valid step; best-by-WER selection)
+            if can_wer and (wer_budget < 0 or bi < wer_budget):
+                h, r = task.decode_to_text(
+                    {"params": trainer.state.params, **trainer.state.collections},
+                    vb,
+                    raw["ids"],
+                    valid_ds,
+                    cfg.generation,
+                )
+                wer_hyps += h
+                wer_refs += r
         last_val = val_agg.snapshot()
+        if wer_hyps:
+            from ..utils.wer import wer as corpus_wer
+
+            w, errs, words = corpus_wer(wer_hyps, wer_refs)
+            last_val["wer"] = w
         log_stats(last_val, trainer.step, "valid", cfg.common.log_format)
         tb.scalars(last_val, trainer.step, "valid")
         prev_best = ckpt.best_value

@@ -63,6 +63,11 @@ class DatasetConfig:
     required_batch_size_multiple: int = 8
     skip_invalid_size_inputs_valid_test: bool = True
     validate_interval: int = 1
+    # beam-decode this many validation batches per validation pass and report
+    # corpus WER (reference: src/criterion.py:100-134 decodes at every valid
+    # step).  -1 = all batches, 0 = off.  Enables
+    # checkpoint.best_checkpoint_metric: wer.
+    valid_wer_batches: int = 0
     # static-shape bucketing: samples are padded up to the nearest bucket
     # boundary so XLA compiles a small fixed set of programs.
     length_buckets: Tuple[int, ...] = (100, 200, 300, 400, 500)

@@ -182,13 +182,17 @@ class CheckpointManager:
         stray .tmp is cleaned up on the next run)."""
         path = self._path(name)
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         if self._async is not None:
-            self._finalize_pending()  # join + swap any in-flight write
+            # join + swap any in-flight write FIRST (it may still be writing
+            # into this same .tmp), only then clear strays and start the next
+            self._finalize_pending()
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
             self._async.save(tmp, tree)
             self._pending.append((tmp, path))
             return
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         if self._ckptr is not None:
             self._ckptr.save(tmp, tree)
         else:  # numpy fallback: arrays keyed by tree path

@@ -121,6 +121,47 @@ class AVSRTask:
 
         return valid_step
 
+    def decode_to_text(
+        self,
+        variables,
+        batch: Dict[str, np.ndarray],
+        ids,
+        dataset,
+        generation_cfg,
+    ):
+        """Beam-decode one prepared batch to (hypotheses, references) text.
+
+        Shared by eval (src/eval.py:195-262) and validation-time WER
+        (src/criterion.py:100-134 decodes with beam search at every valid
+        step so training can select the best checkpoint by WER).
+        """
+        tok = dataset.tokenizer
+        gen_batch = {
+            k: v for k, v in batch.items() if k not in ("labels", "label_lengths")
+        }
+        seqs, _ = self.system.generate(
+            variables,
+            gen_batch,
+            num_beams=generation_cfg.beam,
+            max_new_tokens=generation_cfg.max_len,
+            length_penalty=generation_cfg.length_penalty,
+            no_repeat_ngram_size=generation_cfg.no_repeat_ngram_size,
+        )
+        best = np.asarray(seqs[:, 0])
+        hyps: List[str] = []
+        refs: List[str] = []
+        for row, sample_id in zip(best, ids):
+            toks = []
+            for t in row.tolist():
+                if t == self.model_cfg.eos_token_id:
+                    break
+                toks.append(t)
+            hyps.append(tok.decode(toks))
+            refs.append(
+                dataset.manifest.labels[int(sample_id)] if dataset.manifest.labels else ""
+            )
+        return hyps, refs
+
 
 @dataclass
 class SpeechTaskConfig(AVSRTaskConfig):

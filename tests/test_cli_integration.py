@@ -30,6 +30,7 @@ def _cfg(root, noise, save_dir):
             "max_tokens": 64,
             "num_workers": 2,
             "required_batch_size_multiple": 1,
+            "valid_wer_batches": 1,
         },
         "optimization": {
             "max_update": 6,
@@ -37,7 +38,7 @@ def _cfg(root, noise, save_dir):
             "warmup_updates": 2,
             "update_freq": 1,
         },
-        "checkpoint": {"save_dir": save_dir},
+        "checkpoint": {"save_dir": save_dir, "best_checkpoint_metric": "wer"},
         "generation": {"beam": 2, "max_len": 6},
         "task": {
             "name": "avsr_training",
@@ -61,6 +62,9 @@ def test_cli_train_then_eval(corpus, tmp_path):
     # bump tiny vocab via model override
     val = train_main(cfg)
     assert "loss" in val and np.isfinite(val["loss"])
+    # validation-time beam WER reported and usable for best-checkpoint
+    # selection (reference: src/criterion.py:100-134)
+    assert "wer" in val and np.isfinite(val["wer"])
     assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
     assert os.path.exists(os.path.join(save_dir, "checkpoint_best"))
 
