@@ -112,8 +112,14 @@ class E2EGanTrainer:
             )
             return out["waveform"], mutated
 
-        # ---- disc step on detached audio -----------------------------------
-        pred_wav, mutated = run_model(state.gen_params)
+        # The reference runs the trunk ONCE per step
+        # (src/criterionSpeechE2E.py:124-215): the discriminator trains on the
+        # detached waveform and the generator loss backprops through the same
+        # forward.  jax.vjp gives us that shape — one trunk forward producing
+        # pred_wav + a pullback, the disc step consumes stop_gradient(pred_wav),
+        # and the generator grads come from pulling dL/dwav back through the
+        # saved residuals (1 fwd + 1 bwd instead of 2 fwd + 1 bwd).
+        pred_wav, trunk_vjp, mutated = jax.vjp(run_model, state.gen_params, has_aux=True)
         pred_det = jax.lax.stop_gradient(pred_wav)
         t = min(pred_det.shape[1], gt_wav.shape[1])
         pred_det, gt = pred_det[:, :t], gt_wav[:, :t]
@@ -139,9 +145,10 @@ class E2EGanTrainer:
         disc_params = optax.apply_updates(state.disc_params, d_up)
 
         # ---- generator step through the updated discriminator --------------
-        def gen_loss_fn(gen_params):
-            wav, mut = run_model(gen_params)
-            wav = wav[:, :t]
+        # Loss as a function of the waveform only; trunk grads come from the
+        # vjp pullback of the single forward above.
+        def wav_loss_fn(wav_full):
+            wav = wav_full[:, :t]
             mel_pred = hifigan_log_mel(wav[..., 0])
             mel_gt = jax.lax.stop_gradient(hifigan_log_mel(gt[..., 0]))
             loss_mel = jnp.mean(jnp.abs(mel_pred - mel_gt))
@@ -155,11 +162,10 @@ class E2EGanTrainer:
             loss_fm = hg.feature_loss(f_real, f_fake)
             loss_adv = hg.generator_adv_loss(s_fake)
             total = cfg.mel_weight * loss_mel + loss_fm + loss_adv
-            return total, (mut, {"loss_mel": loss_mel, "loss_fm": loss_fm, "loss_adv": loss_adv})
+            return total, {"loss_mel": loss_mel, "loss_fm": loss_fm, "loss_adv": loss_adv}
 
-        (g_loss, (mutated, aux)), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            state.gen_params
-        )
+        (g_loss, aux), wav_grad = jax.value_and_grad(wav_loss_fn, has_aux=True)(pred_wav)
+        (g_grads,) = trunk_vjp(wav_grad)
         g_up, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_up)
 

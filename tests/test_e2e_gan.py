@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalvc_tpu.criterions.gan import E2EGanConfig, E2EGanTrainer
 from multimodalvc_tpu.models.speech import SpeechConfig, SpeechE2EModel
@@ -10,6 +11,7 @@ from multimodalvc_tpu.runtime.trainer import trainable_mask
 from tests.test_speech_models import make_batch
 
 
+@pytest.mark.slow
 def test_e2e_gan_step(rng):
     cfg = SpeechConfig.tiny()
     cfg.max_mel_frames = 20  # keep waveforms small on CPU
@@ -52,3 +54,44 @@ def test_e2e_gan_step(rng):
 
     vm = jax.jit(trainer2.valid_step)(new_state, batch)
     assert np.isfinite(float(vm["mel_l1"])) and np.isfinite(float(vm["mcd"]))
+
+
+@pytest.mark.slow
+def test_sharded_e2e_gan_step_matches_single_device(rng):
+    """8-device DP E2E GAN step == single-device (VERDICT: mesh-shard the
+    E2E GAN loop; reference analog is 8-GPU DDP training)."""
+    from multimodalvc_tpu.cli.train import _shard_gan_loop
+    from multimodalvc_tpu.parallel.mesh import make_mesh
+
+    cfg = SpeechConfig.tiny()
+    cfg.max_mel_frames = 20
+    voc = HifiGanConfig(
+        in_channels=cfg.head_dim,
+        upsample_initial_channel=32,
+        upsample_factors=(10, 4, 2, 2),
+        upsample_kernel_sizes=(20, 8, 4, 4),
+        resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3, 5),),
+    )
+    model = SpeechE2EModel(cfg, voc)
+    batch = make_batch(rng, cfg, b=8)
+    batch["waveform"] = jnp.asarray(
+        (rng.standard_normal((8, cfg.max_mel_frames * 160, 1)) * 0.1).astype(np.float32)
+    )
+    trainer = E2EGanTrainer(E2EGanConfig(), model)
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    _, ref_metrics = jax.jit(trainer.train_step)(state, batch)
+    ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
+
+    mesh = make_mesh({"data": -1})
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    state, step_fn, valid_fn, prep = _shard_gan_loop(
+        state, np_batch, mesh, trainer.train_step, trainer.valid_step
+    )
+    sharded_batch = prep(np_batch)
+    assert sharded_batch["waveform"].sharding.is_fully_replicated is False
+    new_state, metrics = step_fn(state, sharded_batch)
+    for k, ref in ref_metrics.items():
+        assert abs(float(metrics[k]) - ref) < 5e-3 * max(1.0, abs(ref)), (k, ref, float(metrics[k]))

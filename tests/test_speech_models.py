@@ -24,13 +24,13 @@ from multimodalvc_tpu.nn.hifigan import HifiGanConfig
 def make_batch(rng, cfg, b=2):
     t_v = cfg.max_video_frames
     n_frames = 2 * cfg.whisper.max_frames
-    audio_lengths = np.asarray([cfg.max_mel_frames * 160, cfg.max_mel_frames * 80])
+    audio_lengths = np.resize([cfg.max_mel_frames * 160, cfg.max_mel_frames * 80], b)
     return {
         "audio_feats": jnp.asarray(
             rng.standard_normal((b, cfg.whisper.n_mels, n_frames)).astype(np.float32)
         ),
         "video": jnp.asarray(rng.standard_normal((b, t_v, 24, 24, 1)).astype(np.float32)),
-        "video_lengths": jnp.asarray([t_v, t_v // 2], dtype=jnp.int32),
+        "video_lengths": jnp.asarray(np.resize([t_v, t_v // 2], b), dtype=jnp.int32),
         "instruction": jnp.asarray(rng.integers(1, 200, (b, 4))),
         "audio_lengths": jnp.asarray(audio_lengths, dtype=jnp.int32),
         "target_mel": jnp.asarray(
