@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, flash_attention
 
 
 @dataclass
@@ -61,6 +61,10 @@ class LlamaConfig:
     # rematerialise each decoder layer's activations in backward (HBM for
     # FLOPs; reference analog: modules/checkpoint_activations.py)
     remat: bool = False
+    # Pallas flash kernel for the prefill/training self-attention
+    # (None = auto: on TPU for prompts >= 128 slots; True forces it, e.g.
+    # for interpreter-mode tests; False pins the XLA einsum path)
+    use_flash_prefill: Optional[bool] = None
 
     @classmethod
     def llama32_3b(cls):
@@ -151,6 +155,40 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
 
+    def _flash_prefill_ok(self, t: int, tkv: int, head_dim: int) -> bool:
+        """Static gate for the Pallas flash self-attention path.
+
+        Requires the window to be exactly the fresh sequence (t == tkv) with
+        identity cache slots, so kernel row-index causality equals slot
+        causality.  Callers with cache=None must use arange positions (the HF
+        forward semantics LlamaModel defaults to) — custom position trees
+        should set cfg.use_flash_prefill=False.
+        """
+        enabled = self.cfg.use_flash_prefill
+        if enabled is None:
+            enabled = jax.default_backend() == "tpu" and t >= 128
+        return bool(enabled) and t == tkv and t > 1 and head_dim % 64 == 0
+
+    def _flash_self(self, q, k, v, attn_mask, rep: int):
+        """Causal flash self-attention with the left-pad mask folded into a
+        per-row [start, T) kv window (assemble_left_padded produces a
+        contiguous suffix mask, models/avsr.py:239)."""
+        t = q.shape[2]
+        kf = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+        vf = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+        starts = None
+        if attn_mask is not None:
+            m = attn_mask[:, :t].astype(jnp.int32)
+            starts = (t - jnp.sum(m, axis=-1)).astype(jnp.int32)
+        return flash_attention(
+            q.astype(self.dtype),
+            kf.astype(self.dtype),
+            vf.astype(self.dtype),
+            kv_starts=starts,
+            causal=True,
+            scale=1.0 / math.sqrt(q.shape[-1]),
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -238,8 +276,29 @@ class LlamaAttention(nn.Module):
             idx = cache["index"]  # scalar int32: write offset
             ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
             cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
-            k, v = ck, cv
             new_cache = {"k": ck, "v": cv, "index": idx + t}
+            if self._flash_prefill_ok(t, ck.shape[2], hd):
+                # generate prefill (cache spans exactly the prompt, slots are
+                # identity): attend over the fresh k/v with the Pallas kernel
+                out = self._flash_self(q, k, v, attn_mask, rep)
+                out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+                out = LoraDense(
+                    cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+                )(out, deterministic)
+                return out, new_cache
+            k, v = ck, cv
+        elif cache_positions is None and self._flash_prefill_ok(t, k.shape[2], hd):
+            # training/validation forward (positions are arange, so causality
+            # on slots == causality on row index): left-pad mask folds into a
+            # per-row [start, T) window inside the kernel — the [T, T] score
+            # matrix never hits HBM (TTFT-dominant prefill compute,
+            # reference hot loop src/model.py:357-363)
+            out = self._flash_self(q, k, v, attn_mask, rep)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+            out = LoraDense(
+                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+            )(out, deterministic)
+            return out, new_cache
         # GQA: repeat kv heads
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)

@@ -59,6 +59,7 @@ def dot_product_attention(
 
 def _flash_kernel(
     kv_len_ref,  # SMEM [B] int32 (scalar-prefetch) — valid kv length per row
+    kv_start_ref,  # SMEM [B] int32 — first valid kv slot per row (left pad)
     q_ref,  # VMEM [1, block_q, d]
     k_ref,  # VMEM [1, block_k, d]
     v_ref,  # VMEM [1, block_k, d]
@@ -83,6 +84,7 @@ def _flash_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_len = kv_len_ref[pl.program_id(0)]
+    kv_start = kv_start_ref[pl.program_id(0)]
     k_start = kb * block_k
 
     def _body():
@@ -93,7 +95,7 @@ def _flash_kernel(
         )
         s = s * scale
         col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = col < kv_len
+        valid = jnp.logical_and(col >= kv_start, col < kv_len)
         if causal:
             row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             valid = jnp.logical_and(valid, col <= row)
@@ -112,11 +114,12 @@ def _flash_kernel(
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
+    # skip key blocks entirely left of the pad window; for causal also skip
+    # blocks fully above the diagonal
+    live = k_start + block_k > kv_start
     if causal:
-        # skip key blocks fully above the diagonal
-        pl.when(k_start <= (qb + 1) * block_q - 1)(_body)
-    else:
-        _body()
+        live = jnp.logical_and(live, k_start <= (qb + 1) * block_q - 1)
+    pl.when(live)(_body)
 
     @pl.when(kb == n_kb - 1)
     def _finish():
@@ -133,20 +136,29 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 128,
     block_k: int = 128,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
+    kv_starts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flash attention. q: [B,H,Tq,D], k/v: [B,H,Tk,D], kv_lens: [B] int32.
 
     Tq/Tk are padded internally to block multiples; padded keys are masked by
-    kv_lens (defaults to full Tk).  Head dim should be a multiple of 128 for
-    peak MXU efficiency but any size compiles.
+    kv_lens (defaults to full Tk).  kv_starts [B] masks a left-pad prefix so
+    the valid window is [kv_starts, kv_lens) — this is how LLaMA's left-padded
+    prompt assembly (models/avsr.py assemble_left_padded) folds into the
+    kernel.  Head dim should be a multiple of 128 for peak MXU efficiency but
+    any size compiles.  interpret=None auto-enables interpreter mode off-TPU.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if kv_lens is None:
         kv_lens = jnp.full((b,), tk, dtype=jnp.int32)
     kv_lens = kv_lens.astype(jnp.int32)
+    if kv_starts is None:
+        kv_starts = jnp.zeros((b,), dtype=jnp.int32)
+    kv_starts = kv_starts.astype(jnp.int32)
 
     tq_p = -(-tq // block_q) * block_q
     tk_p = -(-tk // block_k) * block_k
@@ -168,21 +180,21 @@ def flash_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, block_q, d), lambda bi, hi, qi, ki, lens: (bi, hi, qi, 0)
+                    (1, 1, block_q, d), lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, block_k, d), lambda bi, hi, qi, ki, lens: (bi, hi, ki, 0)
+                    (1, 1, block_k, d), lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, block_k, d), lambda bi, hi, qi, ki, lens: (bi, hi, ki, 0)
+                    (1, 1, block_k, d), lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi, ki, lens: (bi, hi, qi, 0)
+                (1, 1, block_q, d), lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -192,5 +204,5 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
         interpret=interpret,
-    )(kv_lens, q, k, v)
+    )(kv_lens, kv_starts, q, k, v)
     return out[:, :, :tq, :]

@@ -52,3 +52,53 @@ def test_reference_attention_mask_and_bias(rng):
     probs = jax.nn.softmax(jnp.asarray(scores), axis=-1)
     ref = np.einsum("bhqk,bhkd->bhqd", np.asarray(probs), np.asarray(v))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_kv_window_left_pad(rng):
+    """kv_starts masks a left-pad prefix: window = [start, len) (+causal)."""
+    q, k, v = _rand_qkv(rng, b=3, tq=256, tk=256)
+    starts = jnp.asarray([0, 130, 37], dtype=jnp.int32)
+    cols = jnp.arange(256)[None, None, None, :]
+    rows = jnp.arange(256)[None, None, :, None]
+    win = (cols >= starts[:, None, None, None]) & (cols <= rows)
+    ref = dot_product_attention(q, k, v, mask=win)
+    got = flash_attention(q, k, v, kv_starts=starts, causal=True, interpret=True)
+    # pad rows (row < start) are fully masked -> kernel emits 0, reference
+    # emits a uniform average; compare valid rows only
+    valid_row = np.asarray(rows[..., 0] >= starts[:, None, None])[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid_row, np.asarray(ref) * valid_row, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_llama_flash_prefill_matches_xla(rng):
+    """LlamaAttention's flash prefill path == the XLA einsum path on a
+    left-padded prompt (VERDICT: route prefill through the Pallas kernel)."""
+    from multimodalvc_tpu.nn.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig.tiny()
+    cfg.head_dim = 64
+    cfg.hidden_size = cfg.num_heads * 64
+    cfg.intermediate_size = 2 * cfg.hidden_size
+    b, t = 2, 160
+    emb = jnp.asarray(rng.standard_normal((b, t, cfg.hidden_size)).astype(np.float32))
+    # contiguous-suffix left-pad mask (assemble_left_padded semantics)
+    n_valid = np.asarray([t, t - 57])
+    mask = jnp.asarray((np.arange(t)[None, :] >= (t - n_valid[:, None])).astype(np.int32))
+
+    cfg.use_flash_prefill = False
+    model = LlamaModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), inputs_embeds=emb, attn_mask=mask)
+    ref = model.apply(variables, inputs_embeds=emb, attn_mask=mask)["logits"]
+
+    cfg2 = LlamaConfig.tiny()
+    cfg2.head_dim, cfg2.hidden_size, cfg2.intermediate_size = (
+        cfg.head_dim, cfg.hidden_size, cfg.intermediate_size)
+    cfg2.use_flash_prefill = True
+    model2 = LlamaModel(cfg2)
+    got = model2.apply(variables, inputs_embeds=emb, attn_mask=mask)["logits"]
+    # compare valid (non-pad) rows only
+    vr = np.asarray(mask)[..., None].astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got) * vr, np.asarray(ref) * vr, rtol=2e-3, atol=2e-3
+    )
