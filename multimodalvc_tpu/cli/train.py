@@ -38,7 +38,7 @@ from ..models import (  # noqa: F401 — registers models
 from ..parallel.mesh import make_mesh
 from ..runtime.checkpoint import CheckpointManager
 from ..runtime.debug import NanDetector, Watchdog, check_cross_process_scalar
-from ..runtime.metrics import MetricsAggregator, TensorBoardSink, log_stats
+from ..runtime.metrics import MetricsAggregator, MetricSinks, log_stats
 from ..runtime.trainer import Trainer
 from ..data.dataset import PrefetchLoader
 from ..data.batching import pad_batch_to_multiple, shard_batches
@@ -156,7 +156,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         keep_interval_updates=cfg.checkpoint.keep_interval_updates,
     )
     agg = MetricsAggregator()
-    tb = TensorBoardSink(cfg.common.tensorboard_logdir)
+    tb = MetricSinks(cfg.common)
     patience_left = cfg.checkpoint.patience
     epoch = 0
     stop = False
@@ -193,45 +193,8 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         # reference: --profile wrapping training in cuda profiler + nvtx
         # (fairseq_cli/train.py:502-505); TPU analog is a jax.profiler trace
         jax.profiler.start_trace(cfg.common.profile_dir)
-    while not stop:
-        epoch += 1
-        batches = train_ds.batches(
-            max_tokens=cfg.dataset.max_tokens,
-            batch_size=cfg.dataset.batch_size,
-            required_multiple=cfg.dataset.required_batch_size_multiple,
-            epoch=epoch,
-        )
-        # multi-host: each process loads its own slice of the batch list
-        batches = shard_batches(batches, jax.process_count(), jax.process_index())
-        loader = PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers)
-        for raw in loader:
-            batch = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
-            if cfg.common.step_timeout_s > 0:
-                with Watchdog(cfg.common.step_timeout_s):
-                    metrics = trainer.train_step(batch)
-            else:
-                metrics = trainer.train_step(batch)
-            agg.update({k: v for k, v in metrics.items()})
-            step = trainer.step
-            if step % cfg.common.log_interval == 0:
-                stats = agg.snapshot()
-                log_stats(stats, step, "train", cfg.common.log_format)
-                tb.scalars(stats, step, "train")
-                agg.reset()
-                # NanDetector flow (reference trainer.py:835-850): localise
-                # the non-finite tensor on the batch that produced it
-                if not np.isfinite(stats.get("loss", 0.0)):
-                    NanDetector(task.make_loss_fn()).run(
-                        trainer.state.params,
-                        trainer.state.collections,
-                        batch,
-                        jax.random.PRNGKey(0),
-                    )
-                check_cross_process_scalar("gnorm", stats.get("gnorm", 0.0))
-            if cfg.optimization.max_update and step >= cfg.optimization.max_update:
-                stop = True
-                break
-        # ---- validation + checkpoint ----------------------------------------
+
+    def run_validation() -> Dict[str, float]:
         val_agg = MetricsAggregator()
         v_batches = valid_ds.batches(
             max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
@@ -262,14 +225,21 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
                 )
                 wer_hyps += h
                 wer_refs += r
-        last_val = val_agg.snapshot()
+        metrics = val_agg.snapshot()
         if wer_hyps:
             from ..utils.wer import wer as corpus_wer
 
             w, errs, words = corpus_wer(wer_hyps, wer_refs)
-            last_val["wer"] = w
-        log_stats(last_val, trainer.step, "valid", cfg.common.log_format)
-        tb.scalars(last_val, trainer.step, "valid")
+            metrics["wer"] = w
+        log_stats(metrics, trainer.step, "valid", cfg.common.log_format)
+        tb.scalars(metrics, trainer.step, "valid")
+        return metrics
+
+    def save_state(val_metrics, epoch_now, batch_offset) -> bool:
+        """Checkpoint with the dataloader position so a restart resumes
+        mid-epoch (reference: checkpoint_utils.py:179-269 train_iterator
+        restore).  batch_offset = per-process batches consumed this epoch
+        (0 = epoch complete; batches are deterministic given epoch seed)."""
         prev_best = ckpt.best_value
         ckpt.save(
             {
@@ -280,11 +250,85 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
                 "rng": np.asarray(jax.device_get(trainer.state.rng)),
             },
             trainer.step,
-            val_metrics=last_val,
-            extra={"epoch": epoch},
+            val_metrics=val_metrics,
+            extra={"epoch": epoch_now, "batch_offset": int(batch_offset)},
         )
-        if cfg.checkpoint.patience > 0:
-            improved = ckpt.best_value != prev_best
+        return ckpt.best_value != prev_best
+
+    resume_offset = int(ckpt.meta.get("batch_offset", 0)) if restored is not None else 0
+    while not stop:
+        if resume_offset == 0:
+            epoch += 1
+        batches = train_ds.batches(
+            max_tokens=cfg.dataset.max_tokens,
+            batch_size=cfg.dataset.batch_size,
+            required_multiple=cfg.dataset.required_batch_size_multiple,
+            epoch=epoch,
+        )
+        # multi-host: each process loads its own slice of the batch list
+        batches = shard_batches(batches, jax.process_count(), jax.process_index())
+        n_epoch_batches = len(batches)
+        skipped = min(resume_offset, n_epoch_batches)
+        if skipped:
+            logger.info(
+                "mid-epoch resume: skipping %d consumed batches of epoch %d",
+                skipped, epoch,
+            )
+            batches = batches[skipped:]
+        resume_offset = 0
+        consumed = skipped
+        loader = PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers)
+        for raw in loader:
+            batch = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
+            if cfg.common.step_timeout_s > 0:
+                with Watchdog(cfg.common.step_timeout_s):
+                    metrics = trainer.train_step(batch)
+            else:
+                metrics = trainer.train_step(batch)
+            consumed += 1
+            agg.update({k: v for k, v in metrics.items()})
+            step = trainer.step
+            if step % cfg.common.log_interval == 0:
+                stats = agg.snapshot()
+                log_stats(stats, step, "train", cfg.common.log_format)
+                tb.scalars(stats, step, "train")
+                agg.reset()
+                # NanDetector flow (reference trainer.py:835-850): localise
+                # the non-finite tensor on the batch that produced it
+                if not np.isfinite(stats.get("loss", 0.0)):
+                    NanDetector(task.make_loss_fn()).run(
+                        trainer.state.params,
+                        trainer.state.collections,
+                        batch,
+                        jax.random.PRNGKey(0),
+                    )
+                check_cross_process_scalar("gnorm", stats.get("gnorm", 0.0))
+            # mid-epoch validate-and-save cadence (reference:
+            # fairseq_cli/train.py:396-400 validate_and_save every
+            # save_interval_updates, with dataloader position persisted)
+            if (
+                cfg.checkpoint.save_interval_updates
+                and step % cfg.checkpoint.save_interval_updates == 0
+                and consumed < n_epoch_batches
+            ):
+                last_val = run_validation()
+                improved = save_state(last_val, epoch, consumed)
+                if cfg.checkpoint.patience > 0:
+                    patience_left = (
+                        cfg.checkpoint.patience if improved else patience_left - 1
+                    )
+                    if patience_left <= 0:
+                        logger.info("early stopping (patience exhausted)")
+                        stop = True
+                        break
+            if cfg.optimization.max_update and step >= cfg.optimization.max_update:
+                stop = True
+                break
+        # ---- end-of-epoch (or max_update stop) validation + checkpoint ------
+        last_val = run_validation()
+        end_offset = consumed if (stop and consumed < n_epoch_batches) else 0
+        improved = save_state(last_val, epoch, end_offset)
+        if cfg.checkpoint.patience > 0 and not stop:
             patience_left = cfg.checkpoint.patience if improved else patience_left - 1
             if patience_left <= 0:
                 logger.info("early stopping (patience exhausted)")
@@ -299,6 +343,44 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
     return last_val
 
 
+def _shard_gan_loop(state, sample_batch, mesh, train_step, valid_step):
+    """Mesh-shard a dual-optimizer GAN loop: state sharded per the standard
+    rules, batches split over (data, fsdp).  The reference trains its GAN
+    loops DDP across 8 GPUs (scripts/trainGermanVocoder.py:355-428); here
+    GSPMD inserts the gradient all-reduces.  Returns (state, step_fn,
+    valid_fn, prep) where prep pads + device_puts a prepared batch."""
+    from ..runtime.trainer import gan_batch_shardings, gan_state_shardings
+
+    if mesh is None or local_batch_multiple(mesh) <= 1:
+        return state, jax.jit(train_step), jax.jit(valid_step), lambda b: b
+    multiple = local_batch_multiple(mesh)
+    shardings = gan_state_shardings(state, mesh)
+    # de-alias duplicated buffers (init_state/warm-start set ema_params to the
+    # very same arrays as gen_params) — donated args must be unique buffers
+    seen: set = set()
+
+    def _dedupe(x):
+        if id(x) in seen:
+            return jax.numpy.array(x)
+        seen.add(id(x))
+        return x
+
+    state = jax.device_put(jax.tree.map(_dedupe, state), shardings)
+    bshard = gan_batch_shardings(pad_batch_to_multiple(sample_batch, multiple), mesh)
+    step_fn = jax.jit(
+        train_step,
+        in_shardings=(shardings, bshard),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+    valid_fn = jax.jit(valid_step, in_shardings=(shardings, bshard))
+
+    def prep(batch):
+        return jax.device_put(pad_batch_to_multiple(batch, multiple), bshard)
+
+    return state, step_fn, valid_fn, prep
+
+
 def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
     """Dual-optimizer loop for the E2E waveform model (reference criterion
     e2e_gan_loss, src/criterionSpeechE2E.py:124-215 — disc step then gen
@@ -311,8 +393,9 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         train_ds.collate([train_ds[int(i)] for i in sample_idx])
     )
     trainer, state = task.make_trainer(jax.random.PRNGKey(cfg.common.seed), sample_batch)
-    step_fn = jax.jit(trainer.train_step)
-    valid_fn = jax.jit(trainer.valid_step)
+    state, step_fn, valid_fn, prep = _shard_gan_loop(
+        state, sample_batch, mesh, trainer.train_step, trainer.valid_step
+    )
     ckpt = CheckpointManager(
         cfg.checkpoint.save_dir,
         best_metric="mel_l1",
@@ -325,8 +408,9 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
     while not stop:
         epoch += 1
         batches = train_ds.batches(batch_size=bsz, max_tokens=cfg.dataset.max_tokens)
+        batches = shard_batches(batches, jax.process_count(), jax.process_index())
         for raw in PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers):
-            state, metrics = step_fn(state, task.prepare_batch(raw))
+            state, metrics = step_fn(state, prep(task.prepare_batch(raw)))
             agg.update({k: float(v) for k, v in metrics.items()})
             if int(state.step) % cfg.common.log_interval == 0:
                 log_stats(agg.snapshot(), int(state.step), "train", cfg.common.log_format)
@@ -339,7 +423,7 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
             valid_ds, valid_ds.batches(batch_size=bsz, max_tokens=cfg.dataset.max_tokens)
         ):
             val_agg.update(
-                {k: float(v) for k, v in valid_fn(state, task.prepare_batch(raw)).items()}
+                {k: float(v) for k, v in valid_fn(state, prep(task.prepare_batch(raw))).items()}
             )
         last_val = val_agg.snapshot()
         log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
@@ -370,19 +454,23 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         gen = model.import_torch_checkpoint(cfg.checkpoint.init_from_pt)
         state = state.replace(gen_params=gen, ema_params=jax.tree.map(lambda x: x, gen))
         logger.info("warm-started generator from %s", cfg.checkpoint.init_from_pt)
-    step_fn = jax.jit(model.train_step)
-    valid_fn = jax.jit(model.valid_step)
+    sample_idx = train_ds.batches(batch_size=cfg.dataset.batch_size or 8, max_tokens=None)[0]
+    sample_batch = task.prepare_batch(train_ds.collate([train_ds[int(i)] for i in sample_idx]))
+    state, step_fn, valid_fn, prep = _shard_gan_loop(
+        state, sample_batch, mesh, model.train_step, model.valid_step
+    )
     ckpt = CheckpointManager(cfg.checkpoint.save_dir, best_metric="mel_l1")
     agg = MetricsAggregator()
-    tb = TensorBoardSink(cfg.common.tensorboard_logdir)
+    tb = MetricSinks(cfg.common)
     epoch, stop = 0, False
     patience_left = cfg.checkpoint.patience
     last_val: Dict[str, float] = {}
     while not stop:
         epoch += 1
         batches = train_ds.batches(batch_size=cfg.dataset.batch_size or 8, max_tokens=None)
+        batches = shard_batches(batches, jax.process_count(), jax.process_index())
         for raw in PrefetchLoader(train_ds, batches, num_workers=cfg.dataset.num_workers):
-            batch = task.prepare_batch(raw)
+            batch = prep(task.prepare_batch(raw))
             state, metrics = step_fn(state, batch)
             agg.update({k: float(v) for k, v in metrics.items()})
             if int(state.step) % cfg.common.log_interval == 0:
@@ -395,7 +483,9 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         for raw in PrefetchLoader(
             valid_ds, valid_ds.batches(batch_size=cfg.dataset.batch_size or 8, max_tokens=None)
         ):
-            val_agg.update({k: float(v) for k, v in valid_fn(state, task.prepare_batch(raw)).items()})
+            val_agg.update(
+                {k: float(v) for k, v in valid_fn(state, prep(task.prepare_batch(raw))).items()}
+            )
         last_val = val_agg.snapshot()
         log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
         tb.scalars(last_val, int(state.step), "valid")

@@ -365,6 +365,48 @@ class Trainer:
         return int(self.state.step)
 
 
+def gan_state_shardings(state, mesh: Mesh):
+    """NamedShardings for a dual-optimizer GAN train state
+    (models/vocoder.py GanTrainState or criterions/gan.py E2EGanState).
+
+    Params/EMA get the standard rule-based specs (FSDP fallback shards big
+    weights, small conv stacks stay replicated = plain DP, matching the
+    reference's DDP vocoder training, scripts/trainGermanVocoder.py:355-428);
+    optimizer moments mirror their params; scalars/rng/mutables replicate.
+    """
+    gen_specs = infer_param_specs(state.gen_params, mesh)
+    disc_specs = infer_param_specs(state.disc_params, mesh)
+    repl = lambda tree: jax.tree.map(lambda _: P(), tree)
+    kw = dict(
+        step=P(),
+        gen_params=gen_specs,
+        disc_params=disc_specs,
+        spectral=repl(state.spectral),
+        gen_opt=_mirror_opt_specs(state.gen_opt, state.gen_params, gen_specs),
+        disc_opt=_mirror_opt_specs(state.disc_opt, state.disc_params, disc_specs),
+    )
+    if hasattr(state, "ema_params"):
+        kw["ema_params"] = gen_specs
+    if hasattr(state, "collections"):
+        kw["collections"] = repl(state.collections)
+    if hasattr(state, "rng"):
+        kw["rng"] = P()
+    specs = state.replace(**kw)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
+def gan_batch_shardings(batch, mesh: Mesh):
+    """Per-leaf batch shardings: dim 0 over (data, fsdp), scalars replicated."""
+    return jax.tree.map(
+        lambda x: NamedSharding(
+            mesh, P(BATCH_AXES) if getattr(x, "ndim", np.ndim(x)) >= 1 else P()
+        ),
+        batch,
+    )
+
+
 def _mirror_opt_specs(opt_state, params, param_specs):
     """Give optimizer moments the same sharding as their params (ZeRO-ish:
     with fsdp>1 the moments are sharded exactly like the weights).

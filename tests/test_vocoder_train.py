@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalvc_tpu.models.vocoder import VocoderConfig, VocoderModel
 from multimodalvc_tpu.nn.hifigan import HifiGanConfig
@@ -123,3 +124,37 @@ def test_torch_checkpoint_unwrap(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(out_imported), np.asarray(out_native), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_sharded_gan_step_matches_single_device(rng):
+    """8-device DP GAN step == single-device step (VERDICT item: the
+    reference trains the vocoder DDP over 8 GPUs,
+    scripts/trainGermanVocoder.py:355-428; here GSPMD shards the batch)."""
+    from multimodalvc_tpu.cli.train import _shard_gan_loop
+    from multimodalvc_tpu.parallel.mesh import make_mesh
+
+    model = VocoderModel(tiny_cfg())
+    batch = make_batch(rng, b=8, segment=1600)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+
+    ref_state = model.init_state(jax.random.PRNGKey(0), mel_frames=10)
+    _, ref_metrics = jax.jit(model.train_step)(ref_state, batch)
+    ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
+
+    mesh = make_mesh({"data": -1})
+    assert mesh.devices.size == 8
+    state = model.init_state(jax.random.PRNGKey(0), mel_frames=10)
+    state, step_fn, valid_fn, prep = _shard_gan_loop(
+        state, np_batch, mesh, model.train_step, model.valid_step
+    )
+    # state lives on the mesh (replicated small params = plain DP)
+    leaf = jax.tree.leaves(state.gen_params)[0]
+    assert leaf.sharding.mesh.devices.size == 8
+    sharded_batch = prep(np_batch)
+    assert sharded_batch["mel"].sharding.is_fully_replicated is False
+    new_state, metrics = step_fn(state, sharded_batch)
+    for k, ref in ref_metrics.items():
+        assert abs(float(metrics[k]) - ref) < 5e-4 * max(1.0, abs(ref)), (k, ref, float(metrics[k]))
+    vm = valid_fn(new_state, prep(np_batch))
+    assert np.isfinite(float(vm["mel_l1"]))
