@@ -42,6 +42,9 @@ HOP = 160
 @dataclass
 class SpeechConfig(AVSRConfig):
     conformer_size: str = "L"
+    # > 1 swaps each Conformer block's final FFN for an expert-parallel
+    # BASE-style MoE bank (mesh "expert" axis); 0 = dense reference parity
+    conformer_moe_experts: int = 0
     proj_mid_dim: int = 768
     head_dim: int = 512
     max_mel_frames: int = 2400  # 24 s at 100 Hz
@@ -101,7 +104,9 @@ class SpeechHead(nn.Module):
         x = nn.Dense(cfg.head_dim, dtype=self.dtype, name="proj2")(x)
         if self.use_layer_norms:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
-        conf_cfg = ConformerConfig.sized(cfg.conformer_size)
+        conf_cfg = ConformerConfig.sized(
+            cfg.conformer_size, moe_experts=cfg.conformer_moe_experts
+        )
         x = ConformerEncoder(conf_cfg, dtype=self.dtype, name="conformer")(
             x, lengths=mel_lens, deterministic=not train
         )

@@ -31,16 +31,23 @@ class ConformerConfig:
     cnn_kernel: int = 31
     macaron: bool = True
     normalize_before: bool = True
+    # expert-parallel MoE FFN: when > 1 the block's final feed-forward becomes
+    # a BASE-style expert bank routed with Sinkhorn balancing, sharded over
+    # the mesh "expert" axis (reference analog: fairseq base_layer.py + the
+    # C++ balanced_assignment auction).  0/1 keeps the dense reference FFN
+    # and exact checkpoint interop.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     @classmethod
-    def sized(cls, size: str) -> "ConformerConfig":
+    def sized(cls, size: str, **overrides) -> "ConformerConfig":
         """S/M/L lookup (reference: src/divise_conformer/encoder.py:281-299)."""
         table = {
             "S": dict(num_blocks=3, attention_dim=144, attention_heads=4),
             "M": dict(num_blocks=4, attention_dim=256, attention_heads=4),
             "L": dict(num_blocks=12, attention_dim=512, attention_heads=8),
         }
-        return cls(**table[size])
+        return cls(**{**table[size], **overrides})
 
 
 def espnet_positional_encoding(n_pos: int, dim: int) -> np.ndarray:
@@ -128,11 +135,21 @@ class ConformerBlock(nn.Module):
             ConformerConvModule(cfg.cnn_kernel, self.dtype, name="conv_module")(h, deterministic)
         )
         h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_ff")(x)
-        x = x + 0.5 * drop(
-            PositionwiseFF(cfg.linear_units, cfg.dropout_rate, self.dtype, name="ff")(
-                h, deterministic
-            )
-        )
+        if cfg.moe_experts > 1:
+            from ..parallel.expert import BaseMoELayer
+
+            ff_out = BaseMoELayer(
+                num_experts=cfg.moe_experts,
+                ffn_dim=cfg.linear_units,
+                capacity_factor=cfg.moe_capacity_factor,
+                dtype=self.dtype,
+                name="ff_moe",
+            )(h, deterministic)
+        else:
+            ff_out = PositionwiseFF(
+                cfg.linear_units, cfg.dropout_rate, self.dtype, name="ff"
+            )(h, deterministic)
+        x = x + 0.5 * drop(ff_out)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_final")(x)
 
 

@@ -37,6 +37,10 @@ TRANSFORMER_TP_RULES: List[Rule] = [
     (r".*lm_head/kernel$", P("fsdp", "tensor")),
     (r".*(bias|scale|b)$", P()),
     (r".*experts.*kernel$", P("expert", "fsdp", "tensor")),
+    # BaseMoELayer stacked expert FFN banks [E, d, f]/[E, f, d]: shard the
+    # expert dim; centroids stay replicated (routing is per-token)
+    (r".*experts_w\d$", P("expert")),
+    (r".*expert_centroids$", P()),
 ]
 
 

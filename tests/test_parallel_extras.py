@@ -66,3 +66,55 @@ def test_microbatch_roundtrip(rng):
     mb = microbatch(x, 4)
     assert mb.shape == (4, 3, 3)
     np.testing.assert_array_equal(np.asarray(unmicrobatch(mb)), np.asarray(x))
+
+
+def test_moe_conformer_product_path(rng):
+    """EP wired into the product Conformer (conf/mms-speech-nollm-moe.yaml):
+    the MoE FFN variant trains a step on an {expert:4, data:2} mesh with the
+    expert banks sharded over the expert axis."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodalvc_tpu.nn.conformer import ConformerConfig, ConformerEncoder
+    from multimodalvc_tpu.parallel.mesh import make_mesh
+    from multimodalvc_tpu.parallel.sharding import shard_params
+
+    cfg = ConformerConfig.sized("S", moe_experts=4)
+    enc = ConformerEncoder(cfg)
+    x = jnp.asarray(rng.standard_normal((4, 16, cfg.attention_dim)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    assert "ff_moe" in variables["params"]["blocks_0"], "MoE FFN replaces dense ff"
+
+    mesh = make_mesh({"expert": 4, "data": 2})
+    params, specs = shard_params(variables["params"], mesh)
+    assert specs["blocks_0"]["ff_moe"]["experts_w1"] == P("expert")
+    assert specs["blocks_0"]["ff_moe"]["expert_centroids"] == P()
+
+    xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+    batch_stats = variables["batch_stats"]
+
+    def loss_fn(p, xin):
+        out = enc.apply({"params": p, "batch_stats": batch_stats}, xin)
+        return jnp.mean(out**2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, xb)
+    assert np.isfinite(float(loss))
+    g = grads["blocks_0"]["ff_moe"]["experts_w1"]
+    assert float(jnp.abs(g).sum()) > 0, "gradient reaches the expert bank"
+    new_params = jax.tree.map(lambda p, gg: p - 1e-3 * gg, params, grads)
+    loss2 = jax.jit(loss_fn)(new_params, xb)
+    assert float(loss2) < float(loss)
+
+
+def test_moe_preset_parses():
+    """The shipped MoE preset maps onto the config tree."""
+    import os
+
+    from multimodalvc_tpu.config import TrainRootConfig, from_dict, load_yaml
+
+    preset = os.path.join(os.path.dirname(__file__), "..", "conf", "mms-speech-nollm-moe.yaml")
+    tree = load_yaml(preset)
+    tree["dataset"]["data"] = "/tmp/x"
+    cfg = from_dict(TrainRootConfig, tree)
+    assert cfg.mesh.expert == 4
+    assert cfg.model["conformer_moe_experts"] == 4
