@@ -263,11 +263,16 @@ def cmd_align_mouth(args):
     """Landmark-driven mouth-ROI extraction for one clip
     (avhubert/preparation/align_mouth.py analog): video .npy [T, H, W] +
     landmarks .npy [T, 68, 2] -> ROI .npy [T, 2*ch, 2*cw]."""
-    from ..data.roi import crop_mouth_rois, default_mean_face
+    from ..data.roi import crop_mouth_rois, default_mean_face, detect_landmarks
 
     frames = np.load(args.video)
-    lms = np.load(args.landmarks)
-    landmarks = [lm if np.isfinite(lm).all() else None for lm in lms]
+    if args.landmarks:
+        lms = np.load(args.landmarks)
+        landmarks = [lm if np.isfinite(lm).all() else None for lm in lms]
+    else:
+        # on-the-fly detection (reference: detect_landmark.py stage) — needs
+        # mediapipe or dlib; precomputed --landmarks stays the offline path
+        landmarks = detect_landmarks(frames, backend=args.detector or None)
     mean_face = (
         np.load(args.mean_face) if args.mean_face else default_mean_face(args.std_size)
     )
@@ -352,7 +357,15 @@ def main():
 
     am = sub.add_parser("align-mouth", help="landmark-aligned mouth-ROI crop")
     am.add_argument("--video", required=True, help=".npy [T, H, W]")
-    am.add_argument("--landmarks", required=True, help=".npy [T, 68, 2]; NaN rows = missed")
+    am.add_argument(
+        "--landmarks", default=None,
+        help=".npy [T, 68, 2]; NaN rows = missed. Omit to detect on the fly "
+        "(mediapipe/dlib)",
+    )
+    am.add_argument(
+        "--detector", default=None, choices=("mediapipe", "dlib"),
+        help="landmark backend when --landmarks is omitted (default: auto)",
+    )
     am.add_argument("--mean-face", default=None, help=".npy [68, 2]")
     am.add_argument("--std-size", type=int, default=256)
     am.add_argument("--window-margin", type=int, default=12)

@@ -169,19 +169,127 @@ def default_mean_face(std_size: int = 256) -> np.ndarray:
     return pts * f
 
 
-def detect_landmarks(frames: np.ndarray):
-    """68-point landmark detection (detect_landmark.py analog).  Requires
-    dlib or mediapipe, neither baked into this image — raises with guidance
-    so pipelines fall back to precomputed landmark files."""
-    try:
-        import mediapipe  # noqa: F401
-    except ImportError:
-        try:
-            import dlib  # noqa: F401
-        except ImportError:
-            raise RuntimeError(
-                "landmark detection needs dlib or mediapipe; run the "
-                "detection stage elsewhere and pass --landmarks <file.npy> "
-                "(T x 68 x 2) to align-mouth"
-            )
-    raise NotImplementedError("detector backend wiring")
+# MediaPipe FaceMesh (468 points) -> iBUG 68-point scheme.  Standard mapping
+# used across open-source ports of the dlib layout; groups: jaw 0-16, brows
+# 17-26, nose bridge 27-30, lower nose 31-35, eyes 36-47, outer lip 48-59,
+# inner lip 60-67.
+MEDIAPIPE_IBUG68 = (
+    127, 234, 93, 58, 172, 136, 149, 148, 152, 377, 378, 365, 397, 288, 323, 454, 356,
+    70, 63, 105, 66, 107,
+    336, 296, 334, 293, 300,
+    168, 197, 5, 4,
+    75, 97, 2, 326, 305,
+    33, 160, 158, 133, 153, 144,
+    362, 385, 387, 263, 373, 380,
+    61, 39, 37, 0, 267, 269, 291, 405, 314, 17, 84, 181,
+    78, 82, 13, 312, 308, 317, 14, 87,
+)
+
+
+def _to_rgb_uint8(frame: np.ndarray) -> np.ndarray:
+    f = np.asarray(frame)
+    if f.dtype != np.uint8:
+        lo, hi = float(f.min()), float(f.max())
+        f = ((f - lo) / max(hi - lo, 1e-6) * 255.0).astype(np.uint8) if hi > 1.5 or lo < 0 else (
+            (np.clip(f, 0, 1) * 255.0).astype(np.uint8)
+        )
+    if f.ndim == 2:
+        f = np.repeat(f[..., None], 3, axis=-1)
+    return np.ascontiguousarray(f)
+
+
+def _detect_mediapipe(frames: np.ndarray) -> List[Optional[np.ndarray]]:
+    """FaceMesh tracking over the clip; 468-point mesh mapped to iBUG-68
+    (reference: avhubert/preparation/detect_landmark.py mediapipe branch)."""
+    import mediapipe as mp
+
+    idx = np.asarray(MEDIAPIPE_IBUG68, np.int64)
+    out: List[Optional[np.ndarray]] = []
+    with mp.solutions.face_mesh.FaceMesh(
+        static_image_mode=False, max_num_faces=1, refine_landmarks=False,
+        min_detection_confidence=0.5, min_tracking_confidence=0.5,
+    ) as mesh:
+        for frame in frames:
+            rgb = _to_rgb_uint8(frame)
+            h, w = rgb.shape[:2]
+            res = mesh.process(rgb)
+            if not res.multi_face_landmarks:
+                out.append(None)
+                continue
+            pts = res.multi_face_landmarks[0].landmark
+            xy = np.asarray([[p.x * w, p.y * h] for p in pts], np.float32)
+            out.append(xy[idx])
+    return out
+
+
+def _detect_dlib(
+    frames: np.ndarray, predictor_path: Optional[str] = None
+) -> List[Optional[np.ndarray]]:
+    """dlib HOG face detector + 68-point shape predictor (reference:
+    detect_landmark.py dlib branch; the predictor .dat ships separately —
+    pass its path or set MMVC_DLIB_PREDICTOR)."""
+    import os
+
+    import dlib
+
+    predictor_path = predictor_path or os.environ.get("MMVC_DLIB_PREDICTOR")
+    if not predictor_path or not os.path.exists(predictor_path):
+        raise RuntimeError(
+            "dlib backend needs the 68-point shape predictor model: pass "
+            "predictor_path or set MMVC_DLIB_PREDICTOR to "
+            "shape_predictor_68_face_landmarks.dat"
+        )
+    detector = dlib.get_frontal_face_detector()
+    predictor = dlib.shape_predictor(predictor_path)
+    out: List[Optional[np.ndarray]] = []
+    for frame in frames:
+        img = _to_rgb_uint8(frame)
+        rects = detector(img, 1)
+        if not rects:
+            out.append(None)
+            continue
+        rect = max(rects, key=lambda r: r.width() * r.height())
+        shape = predictor(img, rect)
+        out.append(
+            np.asarray([[shape.part(i).x, shape.part(i).y] for i in range(68)], np.float32)
+        )
+    return out
+
+
+def detect_landmarks(
+    frames: np.ndarray,
+    backend: Optional[str] = None,
+    predictor_path: Optional[str] = None,
+) -> List[Optional[np.ndarray]]:
+    """68-point landmark detection (detect_landmark.py analog).
+
+    frames: [T, H, W] grayscale or [T, H, W, 3] RGB.  Returns a length-T list
+    of [68, 2] (x, y) arrays, None where no face was found (interpolated
+    downstream by landmarks_interpolate).  Tries mediapipe, then dlib; raises
+    with guidance when neither is importable so pipelines fall back to
+    precomputed landmark files.
+    """
+    order = (backend,) if backend else ("mediapipe", "dlib")
+    errors = []
+    for b in order:
+        if b == "mediapipe":
+            try:
+                import mediapipe  # noqa: F401
+            except ImportError as e:
+                errors.append(f"mediapipe: {e}")
+                continue
+            return _detect_mediapipe(frames)
+        if b == "dlib":
+            try:
+                import dlib  # noqa: F401
+            except ImportError as e:
+                errors.append(f"dlib: {e}")
+                continue
+            return _detect_dlib(frames, predictor_path)
+        errors.append(f"unknown backend {b!r}")
+    raise RuntimeError(
+        "landmark detection needs dlib or mediapipe ("
+        + "; ".join(errors)
+        + "); run the detection stage elsewhere and pass --landmarks "
+        "<file.npy> (T x 68 x 2) to align-mouth"
+    )

@@ -82,3 +82,63 @@ def test_align_mouth_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     rois = np.load(tmp_path / "roi.npy")
     assert rois.shape == (5, 48, 48)
+
+
+def test_mediapipe_ibug68_mapping_table():
+    """The FaceMesh->iBUG mapping is a valid 68-entry index table."""
+    from multimodalvc_tpu.data.roi import MEDIAPIPE_IBUG68, MOUTH_POINTS, STABLE_POINTS
+
+    assert len(MEDIAPIPE_IBUG68) == 68
+    assert len(set(MEDIAPIPE_IBUG68)) == 68, "indices must be unique"
+    assert all(0 <= i < 468 for i in MEDIAPIPE_IBUG68)
+    # the mouth block (48:68) maps to FaceMesh lip indices incl. the corners
+    mouth = MEDIAPIPE_IBUG68[MOUTH_POINTS]
+    assert 61 in mouth and 291 in mouth  # left/right lip corners
+    # stable registration points exist
+    for i in STABLE_POINTS:
+        assert 0 <= MEDIAPIPE_IBUG68[i] < 468
+
+
+def test_detect_landmarks_error_guides_to_precomputed():
+    import pytest
+
+    from multimodalvc_tpu.data import roi
+
+    frames = np.zeros((2, 32, 32), np.uint8)
+    try:
+        import mediapipe  # noqa: F401
+        has_backend = True
+    except ImportError:
+        try:
+            import dlib  # noqa: F401
+            has_backend = True
+        except ImportError:
+            has_backend = False
+    if has_backend:
+        pytest.skip("a detector backend is importable here")
+    with pytest.raises(RuntimeError, match="landmarks"):
+        roi.detect_landmarks(frames)
+
+
+def test_detect_landmarks_mediapipe_synthetic_face():
+    """End-to-end detection on a synthetic face image (skipped without
+    mediapipe; reference: avhubert/preparation/detect_landmark.py)."""
+    import pytest
+
+    mp = pytest.importorskip("mediapipe")  # noqa: F841
+    from multimodalvc_tpu.data.roi import detect_landmarks
+
+    # crude synthetic face: bright oval + dark eyes/mouth on a 128x128 canvas
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w), np.uint8)
+    img[((yy - 64) / 45.0) ** 2 + ((xx - 64) / 34.0) ** 2 <= 1.0] = 200
+    for cx, cy in ((48, 52), (80, 52)):
+        img[((yy - cy) / 4.0) ** 2 + ((xx - cx) / 7.0) ** 2 <= 1.0] = 30
+    img[((yy - 88) / 5.0) ** 2 + ((xx - 64) / 14.0) ** 2 <= 1.0] = 40
+    frames = np.stack([img, img])
+    lms = detect_landmarks(frames, backend="mediapipe")
+    assert len(lms) == 2
+    found = [lm for lm in lms if lm is not None]
+    for lm in found:
+        assert lm.shape == (68, 2)
