@@ -20,6 +20,11 @@ class CommonConfig:
     log_interval: int = 100
     log_format: str = "simple"  # simple | json
     tensorboard_logdir: Optional[str] = None
+    # extra metric sinks (reference: logging/progress_bar.py W&B / AzureML
+    # wrappers); each is a no-op when unset or when the client lib is absent
+    wandb_project: Optional[str] = None
+    azureml_logging: bool = False
+    metrics_jsonl: Optional[str] = None  # append-only JSONL metrics stream
     # dtype policy: params are kept in fp32; compute runs in this dtype.
     compute_dtype: str = "bfloat16"
     profile: bool = False

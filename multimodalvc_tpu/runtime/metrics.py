@@ -131,3 +131,136 @@ class TensorBoardSink:
     def close(self) -> None:
         if self._writer is not None:
             self._writer.close()
+
+
+class JsonlSink:
+    """Append-only JSONL metrics stream (machine-readable training log;
+    reference analog: logging/progress_bar.py JsonProgressBar writing to
+    stdout — here to a file so it composes with the simple formatter)."""
+
+    def __init__(self, path: Optional[str]):
+        self._f = open(path, "a") if path else None
+
+    def scalars(self, stats: Dict[str, float], step: int, prefix: str = "train") -> None:
+        if self._f is None:
+            return
+        rec = {"step": step, "split": prefix}
+        rec.update({k: float(v) for k, v in stats.items() if _is_num(v)})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def audio(self, *a, **k) -> None:
+        pass
+
+    def image(self, *a, **k) -> None:
+        pass
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+
+
+class WandbSink:
+    """Weights & Biases sink (reference: logging/progress_bar.py
+    WandBProgressBarWrapper).  No-op when wandb is not importable."""
+
+    def __init__(self, project: Optional[str], run_name: Optional[str] = None,
+                 config: Optional[dict] = None):
+        self._run = None
+        if not project:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(
+                project=project, name=run_name, config=config, reinit=True
+            )
+        except Exception as e:  # pragma: no cover — wandb not baked in
+            logger.info("wandb sink unavailable (%s)", e)
+
+    def scalars(self, stats: Dict[str, float], step: int, prefix: str = "train") -> None:
+        if self._run is None:
+            return
+        self._run.log(
+            {f"{prefix}/{k}": float(v) for k, v in stats.items() if _is_num(v)},
+            step=step,
+        )
+
+    def audio(self, *a, **k) -> None:
+        pass
+
+    def image(self, *a, **k) -> None:
+        pass
+
+    def close(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+
+
+class AzureMLSink:
+    """AzureML run-context sink (reference: logging/progress_bar.py
+    AzureMLProgressBarWrapper).  No-op outside an AzureML run."""
+
+    def __init__(self, enabled: bool = False):
+        self._run = None
+        if not enabled:
+            return
+        try:  # pragma: no cover — azureml not baked in
+            from azureml.core import Run
+
+            self._run = Run.get_context()
+        except Exception as e:
+            logger.info("azureml sink unavailable (%s)", e)
+
+    def scalars(self, stats: Dict[str, float], step: int, prefix: str = "train") -> None:
+        if self._run is None:
+            return
+        for k, v in stats.items():  # pragma: no cover
+            if _is_num(v):
+                self._run.log(f"{prefix}/{k}", float(v))
+
+    def audio(self, *a, **k) -> None:
+        pass
+
+    def image(self, *a, **k) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def _is_num(v) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+class MetricSinks:
+    """Fan-out over every configured sink (TensorBoard / W&B / AzureML /
+    JSONL), same surface as TensorBoardSink so call sites don't care."""
+
+    def __init__(self, common_cfg) -> None:
+        self.sinks = [
+            TensorBoardSink(getattr(common_cfg, "tensorboard_logdir", None)),
+            JsonlSink(getattr(common_cfg, "metrics_jsonl", None)),
+            WandbSink(getattr(common_cfg, "wandb_project", None)),
+            AzureMLSink(getattr(common_cfg, "azureml_logging", False)),
+        ]
+
+    def scalars(self, stats, step, prefix="train"):
+        for s in self.sinks:
+            s.scalars(stats, step, prefix)
+
+    def audio(self, tag, wav, step, sample_rate=16000):
+        for s in self.sinks:
+            s.audio(tag, wav, step, sample_rate=sample_rate)
+
+    def image(self, tag, img_hwc, step):
+        for s in self.sinks:
+            s.image(tag, img_hwc, step)
+
+    def close(self):
+        for s in self.sinks:
+            s.close()

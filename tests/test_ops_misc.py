@@ -62,3 +62,26 @@ def test_length_mask():
     assert m.shape == (3, 5)
     assert m.sum() == 7
     assert m[1, :2].all() and not m[1, 2:].any()
+
+
+def test_metric_sinks_fanout(tmp_path):
+    """JSONL sink records scalars; W&B/AzureML no-op gracefully when absent
+    (reference: logging/progress_bar.py wrapper chain)."""
+    import json as _json
+    from types import SimpleNamespace
+
+    from multimodalvc_tpu.runtime.metrics import MetricSinks
+
+    cfg = SimpleNamespace(
+        tensorboard_logdir=None,
+        metrics_jsonl=str(tmp_path / "m.jsonl"),
+        wandb_project=None,
+        azureml_logging=False,
+    )
+    sinks = MetricSinks(cfg)
+    sinks.scalars({"loss": 1.5, "wer": 0.2}, 10, "valid")
+    sinks.scalars({"loss": 1.25}, 20, "train")
+    sinks.close()
+    recs = [_json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert recs[0] == {"step": 10, "split": "valid", "loss": 1.5, "wer": 0.2}
+    assert recs[1]["step"] == 20 and recs[1]["split"] == "train"
