@@ -14,6 +14,9 @@ from multimodalvc_tpu.cli.train import build_config, main as train_main
 
 from tests.fixtures import make_corpus
 
+# heavy CLI compiles: excluded from the default fast run (pytest --runslow)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
@@ -231,3 +234,34 @@ def test_cli_init_from_reference_pt(corpus, tmp_path):
     cfg.checkpoint.init_from_pt = str(tmp_path / "ref.pt")
     val = train_main(cfg)
     assert np.isfinite(val["loss"])
+
+
+def test_cli_midepoch_resume_matches_straight_run(corpus, tmp_path):
+    """Kill mid-epoch, resume, and land on the same final state as an
+    uninterrupted run (reference: checkpoint_utils.py:179-269 restores the
+    dataloader position; batches are deterministic given the epoch seed)."""
+    from multimodalvc_tpu.runtime.checkpoint import CheckpointManager
+
+    root, noise = corpus
+
+    def run(save_dir, max_update):
+        cfg = _cfg(root, noise, save_dir)
+        cfg.task["noise_prob"] = 0.0  # keep the data stream deterministic
+        cfg.dataset.valid_wer_batches = 0
+        cfg.dataset.max_tokens = 30  # >=3 batches/epoch so step 2 is mid-epoch
+        cfg.optimization.max_update = max_update
+        return train_main(cfg)
+
+    # uninterrupted run to step 5
+    straight = run(str(tmp_path / "ckpt_straight"), 5)
+
+    # interrupted at step 2 (mid-epoch), then resumed to 5
+    resume_dir = str(tmp_path / "ckpt_mid")
+    run(resume_dir, 2)
+    meta = CheckpointManager(resume_dir).meta
+    assert meta["step"] == 2
+    assert meta.get("batch_offset", 0) > 0, "mid-epoch stop must record position"
+    resumed = run(resume_dir, 5)
+    assert CheckpointManager(resume_dir).meta["step"] == 5
+    # same batches in the same order -> same final loss
+    np.testing.assert_allclose(resumed["loss"], straight["loss"], rtol=1e-4)

@@ -31,6 +31,7 @@ def test_trainable_mask_lora_exception():
     assert mask["qformer"]["w"] is True
 
 
+@pytest.mark.slow
 def test_sharded_avsr_training_loss_decreases(rng):
     mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
     cfg = AVSRConfig.tiny()
@@ -168,6 +169,7 @@ def test_composite_optimizer_routes_groups():
     np.testing.assert_array_equal(np.asarray(updates["other"]["w"]), 0.0)  # frozen default
 
 
+@pytest.mark.slow
 def test_reproducibility_same_seed_same_losses(rng):
     """Two trainer runs from the same seed produce identical metrics
     (reference analog: fairseq tests/test_reproducibility.py)."""
