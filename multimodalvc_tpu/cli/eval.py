@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import apply_overrides, from_dict, load_yaml, merge
 from ..config.configs import TrainRootConfig
-from ..runtime.checkpoint import CheckpointManager
+from ..runtime.checkpoint import CheckpointManager, load_ensemble
 from ..runtime.metrics import log_stats
 from ..utils.wer import wer
 from ..data.dataset import PrefetchLoader
@@ -49,13 +49,24 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
     variables = task.init_variables(jax.random.PRNGKey(0), sample)
 
     ckpt = CheckpointManager(cfg.checkpoint.save_dir)
-    restored = ckpt.restore(
-        {"params": variables["params"], "collections": {k: v for k, v in variables.items() if k != "params"}},
-        cfg.checkpoint.restore_file,
+    template = {
+        "params": variables["params"],
+        "collections": {k: v for k, v in variables.items() if k != "params"},
+    }
+    # comma-separated restore_file = checkpoint ensemble (reference:
+    # load_model_ensemble_and_task, checkpoint_utils.py:380); mode "average"
+    # parameter-averages, "logprob" decodes with per-step averaged log-probs
+    members = load_ensemble(
+        ckpt, template, cfg.checkpoint.restore_file, cfg.checkpoint.ensemble_mode
     )
-    if restored is not None:
-        variables = {"params": restored["params"], **restored["collections"]}
-        logger.info("restored %s", cfg.checkpoint.restore_file)
+    if members is not None:
+        trees = [{"params": m["params"], **m["collections"]} for m in members]
+        variables = trees[0] if len(trees) == 1 else trees
+        logger.info(
+            "restored %s (%d member%s, mode=%s)",
+            cfg.checkpoint.restore_file, len(trees), "s" if len(trees) > 1 else "",
+            cfg.checkpoint.ensemble_mode,
+        )
     else:
         logger.warning("no checkpoint found at %s — evaluating random init", cfg.checkpoint.save_dir)
 

@@ -119,7 +119,13 @@ class CheckpointConfig:
     maximize_best_checkpoint_metric: bool = False
     patience: int = -1
     reset_optimizer: bool = False
+    # checkpoint name, or a comma-separated list for an eval-time ensemble
+    # (reference: checkpoint_utils.load_model_ensemble_and_task)
     restore_file: str = "checkpoint_last"
+    # how a multi-checkpoint restore combines members: "logprob" = true
+    # log-prob-averaged ensemble decode (fairseq EnsembleModel), "average" =
+    # parameter averaging (fairseq scripts/average_checkpoints.py)
+    ensemble_mode: str = "logprob"
     # torch .pt checkpoint to import weights from (reference interop)
     init_from_pt: Optional[str] = None
     async_save: bool = True

@@ -387,15 +387,26 @@ class AVSRSystem:
         if key not in self._gen_cache:
 
             def _gen(variables, batch):
-                emb, attn_mask = self.module.apply(
-                    variables, batch, method=AVSRModel.prompt_for_generation
-                )
-                llama_vars = {"params": variables["params"]["llama"]}
+                # variables may be a LIST of trees — a checkpoint ensemble
+                # (reference: checkpoint_utils.load_model_ensemble_and_task;
+                # log-prob averaging happens inside generate_beam). Each
+                # member runs its own encoders + prompt assembly.
+                ens = variables if isinstance(variables, (list, tuple)) else [variables]
+                embs, masks, lvars = [], [], []
+                for v in ens:
+                    emb, attn_mask = self.module.apply(
+                        v, batch, method=AVSRModel.prompt_for_generation
+                    )
+                    embs.append(emb)
+                    masks.append(attn_mask)
+                    lvars.append({"params": v["params"]["llama"]})
+                if len(ens) == 1:
+                    embs, masks, lvars = embs[0], masks[0], lvars[0]
                 return generate_beam(
                     self.llama_module,
-                    llama_vars,
-                    emb,
-                    attn_mask,
+                    lvars,
+                    embs,
+                    masks,
                     eos_token_id=self.cfg.eos_token_id,
                     pad_token_id=self.cfg.pad_token_id,
                     num_beams=num_beams,

@@ -475,93 +475,154 @@ def generate_beam(
     """
     from ..ops.beam_search import beam_search
 
-    b, t_prompt, _ = inputs_embeds.shape
+    # Ensemble support (reference: checkpoint_utils.load_model_ensemble_and_task
+    # + fairseq EnsembleModel log-prob averaging, sequence_generator.py):
+    # variables / inputs_embeds / attn_mask may be equal-length lists — each
+    # member prefills its own prompt (prompt lengths may differ per member:
+    # the SR predictor drives query counts) and the decode loop averages
+    # normalized log-probs across members every step.
+    ens_vars = list(variables) if isinstance(variables, (list, tuple)) else [variables]
+    n_ens = len(ens_vars)
+    ens_emb = (
+        list(inputs_embeds)
+        if isinstance(inputs_embeds, (list, tuple))
+        else [inputs_embeds] * n_ens
+    )
+    ens_mask = (
+        list(attn_mask) if isinstance(attn_mask, (list, tuple)) else [attn_mask] * n_ens
+    )
+    assert len(ens_emb) == n_ens and len(ens_mask) == n_ens
+
+    def _prefill_member(variables, inputs_embeds, attn_mask):
+
+        b, t_prompt, _ = inputs_embeds.shape
+        k = num_beams
+        total = t_prompt + max_new_tokens
+        attn_mask = attn_mask.astype(jnp.int32)
+        valid_lens = jnp.sum(attn_mask, axis=1)
+
+        # --- prefill at batch B (beams share the prompt) ------------------------
+        prefill_len = t_prompt if share_prompt_kv else total
+        cache = model.apply(
+            variables, method=LlamaModel.init_cache, batch=b, max_len=prefill_len, dtype=cache_dtype
+        )
+        rope_pos = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)  # HF generate
+        slot_pos = jnp.broadcast_to(jnp.arange(t_prompt)[None], (b, t_prompt))
+        prefill_mask = attn_mask if share_prompt_kv else jnp.concatenate(
+            [attn_mask, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+        )
+        out = model.apply(
+            variables,
+            inputs_embeds=inputs_embeds,
+            attn_mask=prefill_mask,
+            positions=rope_pos,
+            cache=cache,
+            cache_positions=slot_pos,
+        )
+        first_logits = out["logits"][:, -1]  # [B, V]
+
+        if share_prompt_kv:
+            # split cache: prompt KV stays at batch B (shared across beams);
+            # only the generated segment is per-beam.  Saves (K-1)/K of the
+            # prompt-KV HBM reads per decode step and shrinks beam reordering
+            # to the generated segment.
+            cfg_m = model.cfg
+            gen_shape = (b * k, cfg_m.num_kv_heads, max_new_tokens, cfg_m.head_dim)
+            cache_k = tuple(
+                {
+                    "prompt_k": c["k"],
+                    "prompt_v": c["v"],
+                    "prompt_mask": attn_mask,
+                    "k": jnp.zeros(gen_shape, cache_dtype),
+                    "v": jnp.zeros(gen_shape, cache_dtype),
+                    "index": jnp.zeros((), jnp.int32),
+                }
+                for c in out["cache"]
+            )
+
+            def decode_fn(tokens, positions, cache):
+                o = model.apply(
+                    variables,
+                    input_ids=tokens,
+                    attn_mask=None,
+                    positions=positions,
+                    cache=cache,
+                )
+                return o["logits"][:, -1], o["cache"]
+        else:
+            # --- tile cache to beams ---------------------------------------------
+            def tile(x):
+                if x.ndim == 0:
+                    return x
+                return jnp.repeat(x, k, axis=0)
+
+            cache_k = jax.tree.map(tile, out["cache"])
+            prompt_mask_k = jnp.repeat(attn_mask, k, axis=0)  # [B*K, T_prompt]
+            gen_slot_ids = jnp.arange(max_new_tokens)[None, :]
+
+            def decode_fn(tokens, positions, cache):
+                idx = cache[0]["index"]  # scalar: next write slot
+                gen_mask = (gen_slot_ids <= idx - t_prompt).astype(jnp.int32)
+                step_mask = jnp.concatenate(
+                    [prompt_mask_k, jnp.broadcast_to(gen_mask, (b * k, max_new_tokens))], axis=1
+                )
+                slot = jnp.full((b * k, 1), idx, jnp.int32)
+                o = model.apply(
+                    variables,
+                    input_ids=tokens,
+                    attn_mask=step_mask,
+                    positions=positions,
+                    cache=cache,
+                    cache_positions=slot,
+                )
+                return o["logits"][:, -1], o["cache"]
+
+
+        return first_logits, cache_k, decode_fn, valid_lens
+
+    members = [
+        _prefill_member(v, e, m) for v, e, m in zip(ens_vars, ens_emb, ens_mask)
+    ]
     k = num_beams
-    total = t_prompt + max_new_tokens
-    attn_mask = attn_mask.astype(jnp.int32)
-    valid_lens = jnp.sum(attn_mask, axis=1)
-
-    # --- prefill at batch B (beams share the prompt) ------------------------
-    prefill_len = t_prompt if share_prompt_kv else total
-    cache = model.apply(
-        variables, method=LlamaModel.init_cache, batch=b, max_len=prefill_len, dtype=cache_dtype
-    )
-    rope_pos = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0)  # HF generate
-    slot_pos = jnp.broadcast_to(jnp.arange(t_prompt)[None], (b, t_prompt))
-    prefill_mask = attn_mask if share_prompt_kv else jnp.concatenate(
-        [attn_mask, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
-    )
-    out = model.apply(
-        variables,
-        inputs_embeds=inputs_embeds,
-        attn_mask=prefill_mask,
-        positions=rope_pos,
-        cache=cache,
-        cache_positions=slot_pos,
-    )
-    first_logits = out["logits"][:, -1]  # [B, V]
-
-    if share_prompt_kv:
-        # split cache: prompt KV stays at batch B (shared across beams);
-        # only the generated segment is per-beam.  Saves (K-1)/K of the
-        # prompt-KV HBM reads per decode step and shrinks beam reordering
-        # to the generated segment.
-        cfg_m = model.cfg
-        gen_shape = (b * k, cfg_m.num_kv_heads, max_new_tokens, cfg_m.head_dim)
-        cache_k = tuple(
-            {
-                "prompt_k": c["k"],
-                "prompt_v": c["v"],
-                "prompt_mask": attn_mask,
-                "k": jnp.zeros(gen_shape, cache_dtype),
-                "v": jnp.zeros(gen_shape, cache_dtype),
-                "index": jnp.zeros((), jnp.int32),
-            }
-            for c in out["cache"]
+    if n_ens == 1:
+        first_logits, cache_k, decode_fn, valid_lens = members[0]
+        return beam_search(
+            decode_fn,
+            cache_k,
+            prompt_lengths=valid_lens,
+            first_logits=first_logits,
+            eos_token_id=eos_token_id,
+            pad_token_id=pad_token_id,
+            max_new_tokens=max_new_tokens,
+            num_beams=k,
+            length_penalty=length_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
         )
 
-        def decode_fn(tokens, positions, cache):
-            o = model.apply(
-                variables,
-                input_ids=tokens,
-                attn_mask=None,
-                positions=positions,
-                cache=cache,
-            )
-            return o["logits"][:, -1], o["cache"]
-    else:
-        # --- tile cache to beams ---------------------------------------------
-        def tile(x):
-            if x.ndim == 0:
-                return x
-            return jnp.repeat(x, k, axis=0)
+    lens0 = members[0][3]
+    first_lp = jnp.stack(
+        [jax.nn.log_softmax(m[0].astype(jnp.float32), axis=-1) for m in members], axis=0
+    )
+    ens_first = jax.nn.logsumexp(first_lp, axis=0) - jnp.log(float(n_ens))
 
-        cache_k = jax.tree.map(tile, out["cache"])
-        prompt_mask_k = jnp.repeat(attn_mask, k, axis=0)  # [B*K, T_prompt]
-        gen_slot_ids = jnp.arange(max_new_tokens)[None, :]
-
-        def decode_fn(tokens, positions, cache):
-            idx = cache[0]["index"]  # scalar: next write slot
-            gen_mask = (gen_slot_ids <= idx - t_prompt).astype(jnp.int32)
-            step_mask = jnp.concatenate(
-                [prompt_mask_k, jnp.broadcast_to(gen_mask, (b * k, max_new_tokens))], axis=1
-            )
-            slot = jnp.full((b * k, 1), idx, jnp.int32)
-            o = model.apply(
-                variables,
-                input_ids=tokens,
-                attn_mask=step_mask,
-                positions=positions,
-                cache=cache,
-                cache_positions=slot,
-            )
-            return o["logits"][:, -1], o["cache"]
+    def ens_decode(tokens, positions, caches):
+        # positions arrive relative to member 0's prompt length; shift per
+        # member, then average normalized log-probs (logsumexp - log n) —
+        # beam_search's log_softmax is an identity on the normalized result
+        logps, new_caches = [], []
+        for mi, (_fl, _ck, dfn, lens) in enumerate(members):
+            off = jnp.repeat(lens - lens0, k)[:, None]
+            lg, nc = dfn(tokens, positions + off, caches[mi])
+            logps.append(jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1))
+            new_caches.append(nc)
+        avg = jax.nn.logsumexp(jnp.stack(logps, axis=0), axis=0) - jnp.log(float(n_ens))
+        return avg, tuple(new_caches)
 
     return beam_search(
-        decode_fn,
-        cache_k,
-        prompt_lengths=valid_lens,
-        first_logits=first_logits,
+        ens_decode,
+        tuple(m[1] for m in members),
+        prompt_lengths=lens0,
+        first_logits=ens_first,
         eos_token_id=eos_token_id,
         pad_token_id=pad_token_id,
         max_new_tokens=max_new_tokens,

@@ -248,6 +248,47 @@ class CheckpointManager:
         return {}
 
 
+def average_checkpoints(trees: List[Any]) -> Any:
+    """Uniform parameter averaging over same-structure trees (reference:
+    fairseq/scripts/average_checkpoints.py).  Integer leaves (step counters)
+    keep the last tree's value."""
+    if len(trees) == 1:
+        return trees[0]
+
+    def avg(*leaves):
+        a = np.asarray(leaves[0])
+        if not np.issubdtype(a.dtype, np.floating):
+            return np.asarray(leaves[-1])
+        return np.mean(np.stack([np.asarray(l, np.float64) for l in leaves]), axis=0).astype(
+            a.dtype
+        )
+
+    return jax.tree.map(avg, *trees)
+
+
+def load_ensemble(
+    manager: "CheckpointManager", template: Any, restore_file: str, mode: str = "logprob"
+) -> Optional[List[Any]]:
+    """Restore one or more checkpoints named in a comma-separated
+    ``restore_file`` (reference: load_model_ensemble_and_task,
+    checkpoint_utils.py:380).  mode="average" collapses members into a
+    single parameter-averaged tree; "logprob" returns the list for
+    ensemble decoding."""
+    names = [n.strip() for n in restore_file.split(",") if n.strip()]
+    trees = []
+    for name in names:
+        t = manager.restore(template, name)
+        if t is None:
+            logger.warning("ensemble member %s not found — skipped", name)
+            continue
+        trees.append(t)
+    if not trees:
+        return None
+    if mode == "average" and len(trees) > 1:
+        return [average_checkpoints(trees)]
+    return trees
+
+
 def filter_frozen(params: Any, frozen_patterns: List[str]) -> Any:
     """Drop frozen subtrees from an export (reference: src/model.py:268-271
     strips requires_grad=False keys from saved state dicts)."""

@@ -244,3 +244,50 @@ def test_no_repeat_ngram_blocks_cycles(rng):
     # blocked: A B A then "A B" bigram is banned from repeating -> next != B
     assert blocked.tolist()[:3] == [A, Bt, A]
     assert blocked[3] != Bt
+
+
+def test_ensemble_identical_members_match_single(pair, rng):
+    """Log-prob-averaged ensemble of identical members == single model
+    (reference: fairseq EnsembleModel averaging in sequence_generator.py)."""
+    _, model, variables = pair
+    emb = (rng.standard_normal((2, 7, 64)) * 0.05).astype(np.float32)
+    mask = np.ones((2, 7), dtype=np.int64)
+    mask[1, :3] = 0
+    kw = dict(eos_token_id=EOS, pad_token_id=PAD, num_beams=3,
+              max_new_tokens=8, cache_dtype=jnp.float32)
+    seqs1, scores1 = generate_beam(model, variables, jnp.asarray(emb), jnp.asarray(mask), **kw)
+    seqs2, scores2 = generate_beam(
+        model, [variables, variables],
+        [jnp.asarray(emb), jnp.asarray(emb)],
+        [jnp.asarray(mask), jnp.asarray(mask)], **kw
+    )
+    np.testing.assert_array_equal(np.asarray(seqs1[:, 0]), np.asarray(seqs2[:, 0]))
+    np.testing.assert_allclose(np.asarray(scores1), np.asarray(scores2), rtol=1e-4, atol=1e-5)
+
+
+def test_ensemble_distinct_members_and_prompt_lengths(pair, rng):
+    """Members with DIFFERENT weights and different prompt lengths decode
+    jointly (per-member position offsets) and produce valid sequences."""
+    _, model, variables = pair
+    cfg = LlamaConfig.tiny()
+    cfg.lora = None
+    model2 = LlamaModel(cfg)
+    v2 = model2.init(
+        jax.random.PRNGKey(7),
+        inputs_embeds=jnp.zeros((1, 4, 64), jnp.float32),
+        attn_mask=jnp.ones((1, 4), jnp.int32),
+    )
+    emb_a = (rng.standard_normal((2, 7, 64)) * 0.05).astype(np.float32)
+    mask_a = np.ones((2, 7), dtype=np.int64); mask_a[1, :3] = 0
+    emb_b = (rng.standard_normal((2, 9, 64)) * 0.05).astype(np.float32)
+    mask_b = np.ones((2, 9), dtype=np.int64); mask_b[0, :4] = 0
+    seqs, scores = generate_beam(
+        model, [variables, v2],
+        [jnp.asarray(emb_a), jnp.asarray(emb_b)],
+        [jnp.asarray(mask_a), jnp.asarray(mask_b)],
+        eos_token_id=EOS, pad_token_id=PAD, num_beams=3,
+        max_new_tokens=8, cache_dtype=jnp.float32,
+    )
+    assert seqs.shape == (2, 3, 8)
+    assert np.isfinite(np.asarray(scores)).all()
+    assert (np.asarray(seqs) >= 0).all()

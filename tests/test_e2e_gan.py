@@ -58,7 +58,7 @@ def test_e2e_gan_step(rng):
 
 @pytest.mark.slow
 def test_sharded_e2e_gan_step_matches_single_device(rng):
-    """8-device DP E2E GAN step == single-device (VERDICT: mesh-shard the
+    """Mesh-DP E2E GAN step == single-device (VERDICT: mesh-shard the
     E2E GAN loop; reference analog is 8-GPU DDP training)."""
     from multimodalvc_tpu.cli.train import _shard_gan_loop
     from multimodalvc_tpu.parallel.mesh import make_mesh
@@ -74,9 +74,9 @@ def test_sharded_e2e_gan_step_matches_single_device(rng):
         resblock_dilations=((1, 3, 5),),
     )
     model = SpeechE2EModel(cfg, voc)
-    batch = make_batch(rng, cfg, b=8)
+    batch = make_batch(rng, cfg, b=4)
     batch["waveform"] = jnp.asarray(
-        (rng.standard_normal((8, cfg.max_mel_frames * 160, 1)) * 0.1).astype(np.float32)
+        (rng.standard_normal((4, cfg.max_mel_frames * 160, 1)) * 0.1).astype(np.float32)
     )
     trainer = E2EGanTrainer(E2EGanConfig(), model)
 
@@ -84,7 +84,8 @@ def test_sharded_e2e_gan_step_matches_single_device(rng):
     _, ref_metrics = jax.jit(trainer.train_step)(state, batch)
     ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
 
-    mesh = make_mesh({"data": -1})
+    # 2-way DP keeps the CPU GSPMD compile tractable
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     np_batch = {k: np.asarray(v) for k, v in batch.items()}
     state, step_fn, valid_fn, prep = _shard_gan_loop(
