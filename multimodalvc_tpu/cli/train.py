@@ -37,7 +37,12 @@ from ..models import (  # noqa: F401 — registers models
 )
 from ..parallel.mesh import make_mesh
 from ..runtime.checkpoint import CheckpointManager
-from ..runtime.debug import NanDetector, Watchdog, check_cross_process_scalar
+from ..runtime.debug import (
+    NanDetector,
+    Watchdog,
+    check_cross_process_scalar,
+    with_oom_batch_split,
+)
 from ..runtime.metrics import MetricsAggregator, MetricSinks, log_stats
 from ..runtime.trainer import Trainer
 from ..data.dataset import PrefetchLoader
@@ -211,8 +216,13 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
             PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers)
         ):
             vb = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
-            vm = valid_step(trainer.state.params, trainer.state.collections, vb)
-            val_agg.update({k: float(v) for k, v in vm.items()})
+            # OOM-safe validation (reference: trainer.py:955+ retries OOM
+            # valid batches at half size)
+            for vm in with_oom_batch_split(
+                lambda b: valid_step(trainer.state.params, trainer.state.collections, b),
+                vb,
+            ):
+                val_agg.update({k: float(v) for k, v in vm.items()})
             # validation-time beam WER (reference: src/criterion.py:100-134
             # decodes with beam search every valid step; best-by-WER selection)
             if can_wer and (wer_budget < 0 or bi < wer_budget):

@@ -38,6 +38,9 @@ class ConformerConfig:
     # and exact checkpoint interop.
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
+    # conv-module kernel: depthwise (reference parity) | lightweight |
+    # dynamic (fairseq lightconv/dynamicconv equivalents, ops/dynamic_conv.py)
+    conv_type: str = "depthwise"
 
     @classmethod
     def sized(cls, size: str, **overrides) -> "ConformerConfig":
@@ -61,25 +64,50 @@ def espnet_positional_encoding(n_pos: int, dim: int) -> np.ndarray:
 
 
 class ConformerConvModule(nn.Module):
-    """pointwise -> GLU -> depthwise(k) -> BN -> swish -> pointwise."""
+    """pointwise -> GLU -> conv(k) -> BN -> swish -> pointwise.
+
+    conv_type selects the kernel: "depthwise" (reference parity,
+    src/divise_conformer/convolution.py), "lightweight" (tied per-head
+    softmax weights) or "dynamic" (position-predicted weights) — the TPU
+    ports of fairseq's lightconv/dynamicconv CUDA kernels
+    (ops/dynamic_conv.py) as drop-in conv-module variants.
+    """
 
     kernel_size: int = 31
     dtype: jnp.dtype = jnp.float32
+    conv_type: str = "depthwise"
+    conv_heads: int = 8
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from ..ops.dynamic_conv import dynamic_conv, lightweight_conv
+
         d = x.shape[-1]
         h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)
         pad = (self.kernel_size - 1) // 2
-        h = nn.Conv(
-            features=d,
-            kernel_size=(self.kernel_size,),
-            feature_group_count=d,
-            padding=[(pad, pad)],
-            dtype=self.dtype,
-            name="depthwise_conv",
-        )(h)
+        if self.conv_type == "lightweight":
+            w = self.param(
+                "light_weights", nn.initializers.normal(0.02),
+                (self.conv_heads, self.kernel_size),
+            )
+            h = lightweight_conv(h, w.astype(self.dtype), padding_left=pad)
+        elif self.conv_type == "dynamic":
+            w = nn.Dense(
+                self.conv_heads * self.kernel_size, dtype=self.dtype,
+                name="weight_predictor",
+            )(h)
+            w = w.reshape(h.shape[0], h.shape[1], self.conv_heads, self.kernel_size)
+            h = dynamic_conv(h, w, padding_left=pad)
+        else:
+            h = nn.Conv(
+                features=d,
+                kernel_size=(self.kernel_size,),
+                feature_group_count=d,
+                padding=[(pad, pad)],
+                dtype=self.dtype,
+                name="depthwise_conv",
+            )(h)
         h = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="norm"
         )(h)
@@ -132,7 +160,10 @@ class ConformerBlock(nn.Module):
         )
         h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_conv")(x)
         x = x + drop(
-            ConformerConvModule(cfg.cnn_kernel, self.dtype, name="conv_module")(h, deterministic)
+            ConformerConvModule(
+                cfg.cnn_kernel, self.dtype, conv_type=cfg.conv_type,
+                conv_heads=cfg.attention_heads, name="conv_module",
+            )(h, deterministic)
         )
         h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_ff")(x)
         if cfg.moe_experts > 1:

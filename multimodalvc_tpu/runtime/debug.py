@@ -144,3 +144,46 @@ class Watchdog:
         if self._timer is not None:
             self._timer.cancel()
         return False
+
+
+def _batch_rows(batch) -> int:
+    for v in batch.values():
+        if hasattr(v, "ndim") and v.ndim >= 1:
+            return int(v.shape[0])
+    return 0
+
+
+def _slice_batch(batch, lo: int, hi: int):
+    b = _batch_rows(batch)
+    return {
+        k: (v[lo:hi] if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b else v)
+        for k, v in batch.items()
+    }
+
+
+def is_oom_error(e: BaseException) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+
+
+def with_oom_batch_split(fn, batch, max_splits: int = 3) -> list:
+    """Run ``fn(batch)``; on device OOM, halve the batch and retry each half
+    (reference: fairseq trainer.py:955+ valid_step ran OOM batches again at
+    half size).  Returns a LIST of per-chunk results so callers aggregate
+    with their usual weighting.  Non-OOM errors propagate; a single-row OOM
+    or exhausted split budget re-raises."""
+    try:
+        return [fn(batch)]
+    except Exception as e:  # jaxlib XlaRuntimeError and friends
+        if not is_oom_error(e):
+            raise
+        rows = _batch_rows(batch)
+        if rows <= 1 or max_splits <= 0:
+            raise
+        logger.warning(
+            "device OOM on a %d-row batch — retrying as two halves (%d splits left)",
+            rows, max_splits - 1,
+        )
+        half = rows // 2
+        return with_oom_batch_split(fn, _slice_batch(batch, 0, half), max_splits - 1) + \
+            with_oom_batch_split(fn, _slice_batch(batch, half, rows), max_splits - 1)

@@ -61,3 +61,44 @@ def test_watchdog_fires_and_cancels():
 
 def test_cross_process_scalar_single_process():
     assert check_cross_process_scalar("gnorm", 1.234)
+
+
+def test_oom_batch_split_halves_and_aggregates():
+    """OOM-valid-step recovery: halve the batch until it fits (reference:
+    fairseq trainer.py:955+)."""
+    import numpy as np
+
+    from multimodalvc_tpu.runtime.debug import with_oom_batch_split
+
+    calls = []
+
+    def fake_step(batch):
+        b = batch["x"].shape[0]
+        calls.append(b)
+        if b > 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory on device")
+        return {"loss": float(batch["x"].sum())}
+
+    batch = {"x": np.arange(8.0), "scalar": np.float32(3.0)}
+    out = with_oom_batch_split(fake_step, batch)
+    assert [m["loss"] for m in out] == [0 + 1, 2 + 3, 4 + 5, 6 + 7]
+    assert calls == [8, 4, 2, 2, 4, 2, 2]
+
+
+def test_oom_batch_split_reraises_non_oom_and_exhausted():
+    import numpy as np
+    import pytest
+
+    from multimodalvc_tpu.runtime.debug import with_oom_batch_split
+
+    def bad(batch):
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        with_oom_batch_split(bad, {"x": np.arange(4.0)})
+
+    def always_oom(batch):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    with pytest.raises(RuntimeError):
+        with_oom_batch_split(always_oom, {"x": np.arange(4.0)})

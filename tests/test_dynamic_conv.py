@@ -65,3 +65,38 @@ def test_jit_and_grad():
     f = jax.jit(lambda x, w: dynamic_conv(x, w).sum())
     g = jax.grad(f)(x, w)
     assert np.isfinite(float(f(x, w))) and np.isfinite(np.asarray(g)).all()
+
+
+def test_conformer_conv_type_variants(rng):
+    """lightconv/dynamicconv as product Conformer conv-module variants
+    (fairseq ships them as CUDA model-zoo kernels; here they are config
+    options on the same encoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalvc_tpu.nn.conformer import ConformerConfig, ConformerEncoder
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 144)).astype(np.float32))
+    outs = {}
+    for ct in ("depthwise", "lightweight", "dynamic"):
+        cfg = ConformerConfig.sized("S", conv_type=ct)
+        enc = ConformerEncoder(cfg)
+        variables = enc.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(p):
+            out = enc.apply({"params": p, "batch_stats": variables["batch_stats"]}, x)
+            return jnp.mean(out**2), out
+
+        (loss, out), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            variables["params"]
+        )
+        assert out.shape == (2, 12, 144)
+        assert np.isfinite(float(loss))
+        gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+        assert gsum > 0
+        outs[ct] = np.asarray(out)
+        if ct == "lightweight":
+            assert "light_weights" in variables["params"]["blocks_0"]["conv_module"]
+        if ct == "dynamic":
+            assert "weight_predictor" in variables["params"]["blocks_0"]["conv_module"]
+    assert np.abs(outs["depthwise"] - outs["lightweight"]).max() > 1e-6
