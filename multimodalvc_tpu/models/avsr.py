@@ -308,6 +308,13 @@ class AVSRModel(nn.Module):
         emb, attn_mask, _ = self.build_prompt(queries, query_lens, batch, False)
         return emb, attn_mask
 
+    def prompt_for_training(self, batch: Dict[str, jnp.ndarray], train: bool = True):
+        """Encoder + prompt assembly only (labels included) — the front half
+        of __call__, for callers that run the LLaMA trunk separately (the
+        pipeline-parallel loss path)."""
+        queries, query_lens = self.encode_queries(batch, train=train)
+        return self.build_prompt(queries, query_lens, batch, True)
+
 
 @register_model("mms_llama_avsr", config=AVSRConfig)
 class AVSRSystem:
@@ -354,6 +361,43 @@ class AVSRSystem:
             metrics = {
                 "accuracy": aux["n_correct"] / _jnp.maximum(aux["n_valid"], 1),
                 "n_tokens": aux["n_valid"],
+            }
+            return loss, (metrics, collections)
+
+        return loss_fn
+
+    def make_pipeline_loss_fn(self, mesh, n_microbatches: int):
+        """Loss fn with the LLaMA decoder pipelined over the mesh 'pipeline'
+        axis (GPipe schedule; reference analog: fairseq
+        pipeline_parallel_transformer via torch Pipe).  Encoders + prompt
+        assembly run replicated/data-parallel; the 28-layer trunk — the bulk
+        of the FLOPs — runs as P stages rotating activations over ICI.
+        Stage params are sliced from the regular param tree inside the step,
+        so checkpoints and the optimizer see the ordinary layout."""
+        from ..nn.llama import cross_entropy_lm_loss, pipeline_lm_forward
+
+        cfg = self.cfg
+
+        def loss_fn(params, collections, batch, rng):
+            variables = {"params": params, **(collections or {})}
+            emb, attn_mask, labels = self.module.apply(
+                variables, batch, True,
+                rngs={"dropout": rng},
+                method=AVSRModel.prompt_for_training,
+            )
+            logits = pipeline_lm_forward(
+                cfg.llama,
+                {"params": params["llama"]},
+                emb,
+                attn_mask,
+                mesh,
+                n_microbatches,
+                dtype=self.module.dtype,
+            )
+            loss, n_correct, n_valid = cross_entropy_lm_loss(logits, labels)
+            metrics = {
+                "accuracy": n_correct / jnp.maximum(n_valid, 1),
+                "n_tokens": n_valid,
             }
             return loss, (metrics, collections)
 

@@ -690,3 +690,86 @@ def import_hf_llama(state: Dict[str, np.ndarray], cfg: LlamaConfig):
             },
         }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel training forward
+# ---------------------------------------------------------------------------
+
+
+def stack_layer_params(params: Dict[str, Any], num_layers: int, n_stages: int) -> Any:
+    """{layers_0..layers_{L-1}} -> stacked pytree with leading [P, L/P] axes
+    for pipeline_apply (stage dim sharded over the mesh 'pipeline' axis)."""
+    if num_layers % n_stages:
+        raise ValueError(f"{num_layers} layers not divisible into {n_stages} stages")
+    trees = [params[f"layers_{i}"] for i in range(num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    per = num_layers // n_stages
+    return jax.tree.map(
+        lambda v: v.reshape((n_stages, per) + v.shape[1:]), stacked
+    )
+
+
+def pipeline_lm_forward(
+    cfg: LlamaConfig,
+    variables: Any,
+    inputs_embeds: jnp.ndarray,  # [B, T, D]
+    attn_mask: Optional[jnp.ndarray],  # [B, T] 1=valid
+    mesh,
+    n_microbatches: int,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Training forward with the decoder layers split over the mesh
+    'pipeline' axis (GPipe schedule, parallel/pipeline.py) — the product
+    wiring of pipeline parallelism (reference analog:
+    fairseq/model_parallel/models/pipeline_parallel_transformer/ via torch
+    Pipe).  Embedding/final-norm/unembed run replicated; each stage scans
+    its L/P layers; positions/masks ride with their microbatch.  Returns
+    fp32 logits [B, T, V].  Composes with data parallelism: the batch dim
+    stays sharded over (data, fsdp).
+
+    Deterministic (no dropout) — pipeline training runs LoRA/attention
+    dropout off, like large-scale LLM fine-tunes typically do.
+    """
+    from ..parallel.pipeline import microbatch, pipeline_apply, unmicrobatch
+
+    params = variables["params"]
+    n_stages = mesh.shape["pipeline"]
+    b, t, _ = inputs_embeds.shape
+    if b % n_microbatches:
+        raise ValueError(f"batch {b} not divisible by {n_microbatches} microbatches")
+    x = inputs_embeds.astype(dtype)
+    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    mask = (
+        attn_mask.astype(jnp.int32)
+        if attn_mask is not None
+        else jnp.ones((b, t), jnp.int32)
+    )
+
+    layer_mod = LlamaLayer(cfg, dtype)
+    stacked = stack_layer_params(params, cfg.num_layers, n_stages)
+
+    def stage_fn(stage_params, h, c):
+        def body(carry, lp):
+            out, _ = layer_mod.apply(
+                {"params": lp}, carry, c["positions"], c["mask"]
+            )
+            return out, None
+
+        h, _ = jax.lax.scan(body, h, stage_params)
+        return h
+
+    xm = microbatch(x, n_microbatches)
+    consts = {
+        "positions": microbatch(positions, n_microbatches),
+        "mask": microbatch(mask, n_microbatches),
+    }
+    h = pipeline_apply(
+        stage_fn, stacked, xm, mesh, consts=consts, batch_axes=("data", "fsdp")
+    )
+    h = unmicrobatch(h)
+    h = RMSNorm(cfg.rms_norm_eps, dtype).apply({"params": params["norm"]}, h)
+    emb = params["embed_tokens"]["embedding"]
+    return jnp.einsum(
+        "btd,vd->btv", h, emb.astype(dtype), preferred_element_type=jnp.float32
+    )

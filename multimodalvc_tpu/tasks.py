@@ -45,6 +45,9 @@ class AVSRTaskConfig:
     max_label_tokens: int = 96
     length_buckets: tuple = (100, 200, 300, 400, 500)
     image_aug: bool = True
+    # > 0 pipelines the LLaMA trunk over the mesh "pipeline" axis with this
+    # many microbatches (GPipe; see conf/mms-llama-pp.yaml)
+    pipeline_microbatches: int = 0
 
 
 @register_task("avsr_training", config=AVSRTaskConfig)
@@ -103,6 +106,14 @@ class AVSRTask:
         return self.system.init(rng, self.prepare_batch(sample_batch))
 
     def make_loss_fn(self):
+        if self.cfg.pipeline_microbatches > 0:
+            from .parallel.mesh import get_current_mesh
+
+            mesh = get_current_mesh()
+            if mesh is not None and mesh.shape.get("pipeline", 1) > 1:
+                return self.system.make_pipeline_loss_fn(
+                    mesh, self.cfg.pipeline_microbatches
+                )
         return self.system.make_trainer_loss_fn()
 
     def frozen_patterns(self):
