@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalvc_tpu.parallel import make_mesh
 from multimodalvc_tpu.parallel.expert import BaseMoELayer, sinkhorn_route
@@ -68,6 +69,7 @@ def test_microbatch_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(unmicrobatch(mb)), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_moe_conformer_product_path(rng):
     """EP wired into the product Conformer (conf/mms-speech-nollm-moe.yaml):
     the MoE FFN variant trains a step on an {expert:4, data:2} mesh with the
@@ -120,6 +122,7 @@ def test_moe_preset_parses():
     assert cfg.model["conformer_moe_experts"] == 4
 
 
+@pytest.mark.slow
 def test_llama_pipeline_forward_matches_sequential(rng):
     """PP wired into the product LLaMA: pipelined logits == the sequential
     forward, composed with data parallelism, grads reaching every stage."""
@@ -162,6 +165,7 @@ def test_llama_pipeline_forward_matches_sequential(rng):
         assert gs > 0, f"no grad reached stage layer {i}"
 
 
+@pytest.mark.slow
 def test_avsr_pipeline_loss_product_path(rng):
     """conf/mms-llama-pp.yaml wiring: the AVSR loss with the LLaMA trunk
     pipelined over {pipeline:2, data:2} matches the sequential loss."""
