@@ -227,6 +227,44 @@ def main():
         ttft_times.append(time.perf_counter() - t0)
     ttft = min(ttft_times)
 
+    # prefill A/B at a 500-slot prompt: Pallas flash kernel vs XLA einsum
+    # (VERDICT: record the prefill speedup; trunk-only — compute_logits off
+    # isolates the 28-layer attention path)
+    import dataclasses as _dc
+
+    from multimodalvc_tpu.nn.llama import LlamaModel as _LM
+
+    perturb_emb = jax.jit(lambda e, eps: e + eps)
+    d_model = system.cfg.llama.hidden_size
+    pe = jnp.asarray(
+        (np.random.default_rng(0).standard_normal((1, 500, d_model)) * 0.02).astype(
+            np.float32
+        )
+    )
+    pmask = jnp.ones((1, 500), jnp.int32)
+    prefill_ms = {}
+    for label, flag in (("flash", True), ("xla", False)):
+        cfg_ab = _dc.replace(system.cfg.llama, use_flash_prefill=flag)
+        mod = _LM(cfg_ab, dtype=system.llama_module.dtype)
+
+        @jax.jit
+        def pf(v, e, m, mod=mod):
+            out = mod.apply(
+                v, inputs_embeds=e, attn_mask=m, compute_logits=False, return_hidden=True
+            )
+            return out["hidden"][:, -1]
+
+        lv = {"params": variables["params"]["llama"]}
+        sync(pf(lv, pe, pmask))  # compile
+        ab_times = []
+        for i in range(args.repeats):
+            pe2 = perturb_emb(pe, jnp.float32(0.001 * (i + 1)))
+            sync(jnp.sum(pe2[0, 0, :2]))
+            t0 = time.perf_counter()
+            sync(pf(lv, pe2, pmask))
+            ab_times.append(time.perf_counter() - t0)
+        prefill_ms[label] = round(min(ab_times) * 1e3, 2)
+
     result = {
         "metric": "avsr_realtime_factor",
         "value": round(rtf, 3),
@@ -246,6 +284,10 @@ def main():
                     "new_tokens": args.new_tokens,
                     "compile_s": round(compile_s, 1),
                     "ttft_ms": round(ttft * 1e3, 1),
+                    "prefill_500_ms": prefill_ms,
+                    "prefill_flash_speedup": round(
+                        prefill_ms["xla"] / max(prefill_ms["flash"], 1e-9), 2
+                    ),
                     "backend": jax.default_backend(),
                 }
             }

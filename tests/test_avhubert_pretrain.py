@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def test_span_mask_statistics(rng):
     assert m.dtype == bool
 
 
+@pytest.mark.slow
 def test_pretrain_forward_and_loss(rng):
     cfg = AVHubertPretrainConfig(
         encoder=AVHubertConfig.tiny(), num_classes=32, final_dim=16

@@ -76,6 +76,7 @@ def _synthetic_reference_state(params, rng):
     return st
 
 
+@pytest.mark.slow
 def test_reference_avsr_import_merges(rng):
     cfg = AVSRConfig.tiny()
     system = AVSRSystem(cfg)

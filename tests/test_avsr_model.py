@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,6 +77,7 @@ def test_avsr_forward_and_generate(rng):
     assert np.all(np.asarray(scores)[:, 0] >= np.asarray(scores)[:, 1] - 1e-6)
 
 
+@pytest.mark.slow
 def test_avsr_grads_flow_only_to_trainable(rng):
     """Frozen encoders (whisper/avhubert/sr) get zero grads via stop_gradient."""
     cfg = AVSRConfig.tiny()

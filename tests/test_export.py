@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_export_roundtrip_avsr_forward(rng):
     try:
         from jax import export

@@ -204,6 +204,7 @@ def test_generator_matches_torch(rng):
     )
 
 
+@pytest.mark.slow
 def test_discriminator_shapes(rng):
     x = jnp.asarray(rng.standard_normal((2, 4000, 1)).astype(np.float32))
     disc = hg.HifiGanDiscriminator()

@@ -19,6 +19,7 @@ def test_sinkhorn_route_is_balanced(rng):
     assert counts.max() - counts.min() <= 8
 
 
+@pytest.mark.slow
 def test_moe_layer_forward_and_expert_sharding(rng):
     mesh = make_mesh({"expert": 4, "data": 2})
     layer = BaseMoELayer(num_experts=4, ffn_dim=32)

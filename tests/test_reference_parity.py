@@ -295,6 +295,7 @@ def test_hifigan_generator_parity_vs_vendored():
     )
 
 
+@pytest.mark.slow
 def test_hifigan_discriminator_parity_vs_vendored():
     """Our MPD+MSD vs custom_hifigan/hifigan/discriminator.py:14-263 through
     import_torch_discriminator (incl. spectral-norm first MSD scale)."""

@@ -1,4 +1,5 @@
 """Legacy seq2seq decoder: cached decode == uncached forward; beam decode."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def _setup(rng, t=6, s=9):
     return cfg, dec, tokens, enc, enc_lens, vs
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward(rng):
     cfg, dec, tokens, enc, enc_lens, vs = _setup(rng)
     t = tokens.shape[1]

@@ -59,6 +59,7 @@ def test_mel_lengths():
     ]
 
 
+@pytest.mark.slow
 def test_speech_llm_forward(rng):
     cfg = SpeechConfig.tiny()
     model = SpeechLLMModel(cfg)
@@ -96,6 +97,7 @@ def test_speech_nollm_forward_and_modality_dropout(rng):
     assert float(jnp.abs(out_av["melspec"] - out_vo["melspec"]).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_speech_e2e_forward(rng):
     cfg = SpeechConfig.tiny()
     voc = HifiGanConfig(

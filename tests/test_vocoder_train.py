@@ -29,6 +29,7 @@ def make_batch(rng, b=2, segment=1600):
     return {"mel": jnp.asarray(mel), "wav": jnp.asarray(wav[..., None])}
 
 
+@pytest.mark.slow
 def test_gan_train_step_runs_and_updates(rng):
     model = VocoderModel(tiny_cfg())
     state = model.init_state(jax.random.PRNGKey(0), mel_frames=10)
@@ -73,6 +74,7 @@ def test_gan_valid_and_generate(rng):
     assert np.all(np.abs(np.asarray(wav)) <= 1.0)
 
 
+@pytest.mark.slow
 def test_mel_loss_decreases_on_overfit(rng):
     # a few steps on one batch should reduce the generator mel loss — the
     # smoke-level convergence check the reference gets from its val loop.
