@@ -75,6 +75,14 @@ def main():
     parser.add_argument("--beams", type=int, default=5)
     parser.add_argument("--new-tokens", type=int, default=64)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 weight-only LLaMA decode (fused Pallas dequant matmul)",
+    )
+    parser.add_argument(
+        "--int4", action="store_true",
+        help="int4-g128 weight-only LLaMA decode (nibble-packed Pallas matmul)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -154,6 +162,15 @@ def main():
         for col, tree in enc_vars.items():
             if col != "params":
                 variables[col] = {"encoder": tree}
+
+    quant_mode = "int4" if args.int4 else ("int8" if args.int8 else None)
+    # the prefill A/B below compares FLOAT kernels; on quantized runs skip it
+    # (keeping the float trunk alongside the quantized copy OOMs a 16 GB chip)
+    ab_llama_params = None if quant_mode else variables["params"]["llama"]
+    if quant_mode:
+        # serving-format decode: quantized weights halve (int8) / quarter
+        # (int4) the per-token HBM weight reads
+        variables = system.enable_quantized_decode(variables, mode=quant_mode)
 
     @jax.jit
     def decode(v, bt):
@@ -243,7 +260,7 @@ def main():
     )
     pmask = jnp.ones((1, 500), jnp.int32)
     prefill_ms = {}
-    for label, flag in (("flash", True), ("xla", False)):
+    for label, flag in () if ab_llama_params is None else (("flash", True), ("xla", False)):
         cfg_ab = _dc.replace(system.cfg.llama, use_flash_prefill=flag)
         mod = _LM(cfg_ab, dtype=system.llama_module.dtype)
 
@@ -254,7 +271,7 @@ def main():
             )
             return out["hidden"][:, -1]
 
-        lv = {"params": variables["params"]["llama"]}
+        lv = {"params": ab_llama_params}
         sync(pf(lv, pe, pmask))  # compile
         ab_times = []
         for i in range(args.repeats):
@@ -287,7 +304,8 @@ def main():
                     "prefill_500_ms": prefill_ms,
                     "prefill_flash_speedup": round(
                         prefill_ms["xla"] / max(prefill_ms["flash"], 1e-9), 2
-                    ),
+                    ) if prefill_ms else None,
+                    "weight_quant": quant_mode,
                     "backend": jax.default_backend(),
                 }
             }

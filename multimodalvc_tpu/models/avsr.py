@@ -403,6 +403,30 @@ class AVSRSystem:
 
         return loss_fn
 
+    def enable_quantized_decode(self, variables, mode: str = "int8"):
+        """Switch decode to weight-only quantized serving: quantize the LLaMA
+        trunk once (fused in-VMEM dequant matmuls, ops/int8_matmul.py) and
+        return the variables tree to pass to generate().  Prompt assembly
+        still reads the float embeddings; decode streams half (int8) or a
+        quarter (int4, group-128) of the weight bytes per token.  Reference
+        deviation note: the reference serves NF4 4-bit via bitsandbytes
+        (src/model.py:231-238); int8 / int4-g128 are the TPU serving formats
+        here."""
+        import dataclasses
+
+        from ..nn.llama import LlamaModel as _LM, quantize_llama_params
+
+        cfg_q = dataclasses.replace(self.cfg.llama, weight_quant=mode)
+        self.llama_module = _LM(cfg_q, dtype=self.llama_module.dtype)
+        self._gen_cache.clear()
+        q_params = dict(variables["params"])
+        q_params["llama"] = quantize_llama_params(q_params["llama"], mode=mode)
+        return {**variables, "params": q_params}
+
+    # backwards-compat alias
+    def enable_int8_decode(self, variables):
+        return self.enable_quantized_decode(variables, mode="int8")
+
     def generate(
         self,
         variables,

@@ -65,6 +65,14 @@ class LlamaConfig:
     # (None = auto: on TPU for prompts >= 128 slots; True forces it, e.g.
     # for interpreter-mode tests; False pins the XLA einsum path)
     use_flash_prefill: Optional[bool] = None
+    # weight-only serving quantization: None (bf16), "int8" (per-channel
+    # scales), or "int4" (group-128 scales, nibble-packed) — dense kernels
+    # are dequantized in VMEM by the fused Pallas matmuls (ops/int8_matmul.py),
+    # halving / quartering the HBM weight reads that bound decode.  Convert a
+    # float tree with quantize_llama_params(params, mode); off for training.
+    # Reference serves 4-bit NF4 via bitsandbytes (src/model.py:231-238);
+    # int4-g128 is the TPU analog.
+    weight_quant: Optional[str] = None
 
     @classmethod
     def llama32_3b(cls):
@@ -127,6 +135,42 @@ class RMSNorm(nn.Module):
         return (normed * scale.astype(jnp.float32)).astype(self.dtype)
 
 
+class QuantDense(nn.Module):
+    """Dense with quantized weights dequantized in VMEM by the fused Pallas
+    matmuls (ops/int8_matmul.py).  mode="int8": int8 kernel + per-channel
+    scales; mode="int4": nibble-packed kernel + group-128 scales.  Params are
+    zero-inited — real values come from quantize_llama_params on a float
+    tree."""
+
+    features: int
+    mode: str = "int8"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.int8_matmul import INT4_GROUP, int4_matmul, int8_matmul
+
+        d_in = x.shape[-1]
+        if self.mode == "int4":
+            w_q = self.param(
+                "w_packed", nn.initializers.zeros, (d_in // 2, self.features), jnp.int8
+            )
+            w_scale = self.param(
+                "w_scale",
+                nn.initializers.ones,
+                (d_in // INT4_GROUP, self.features),
+                jnp.float32,
+            )
+            return int4_matmul(x, w_q, w_scale, out_dtype=self.dtype)
+        w_q = self.param(
+            "w_q", nn.initializers.zeros, (d_in, self.features), jnp.int8
+        )
+        w_scale = self.param(
+            "w_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        return int8_matmul(x, w_q, w_scale, out_dtype=self.dtype)
+
+
 class LoraDense(nn.Module):
     """Dense with optional additive low-rank adapter: y = xW + s·(x A) B."""
 
@@ -134,10 +178,16 @@ class LoraDense(nn.Module):
     use_bias: bool = False
     lora: Optional[LoraConfig] = None
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None  # int8/int4 base kernel (serving; LoRA stays float)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype, name="base")(x)
+        if self.quant:
+            y = QuantDense(self.features, mode=self.quant, dtype=self.dtype, name="base_q")(x)
+        else:
+            y = nn.Dense(
+                self.features, use_bias=self.use_bias, dtype=self.dtype, name="base"
+            )(x)
         if self.lora is not None and self.lora.rank > 0:
             r = self.lora.rank
             a = self.param("lora_a", nn.initializers.he_uniform(), (x.shape[-1], r))
@@ -205,13 +255,13 @@ class LlamaAttention(nn.Module):
         b, t, _ = x.shape
         h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-        q = LoraDense(h * hd, lora=in_lora("q_proj"), dtype=self.dtype, name="q_proj")(
+        q = LoraDense(h * hd, lora=in_lora("q_proj"), dtype=self.dtype, quant=cfg.weight_quant, name="q_proj")(
             x, deterministic
         )
-        k = LoraDense(hkv * hd, lora=in_lora("k_proj"), dtype=self.dtype, name="k_proj")(
+        k = LoraDense(hkv * hd, lora=in_lora("k_proj"), dtype=self.dtype, quant=cfg.weight_quant, name="k_proj")(
             x, deterministic
         )
-        v = LoraDense(hkv * hd, lora=in_lora("v_proj"), dtype=self.dtype, name="v_proj")(
+        v = LoraDense(hkv * hd, lora=in_lora("v_proj"), dtype=self.dtype, quant=cfg.weight_quant, name="v_proj")(
             x, deterministic
         )
         q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
@@ -269,7 +319,8 @@ class LlamaAttention(nn.Module):
             out = out_p + out_g
             out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
             out = LoraDense(
-                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype,
+                quant=cfg.weight_quant, name="o_proj"
             )(out, deterministic)
             return out, new_cache
         if cache is not None:
@@ -283,7 +334,8 @@ class LlamaAttention(nn.Module):
                 out = self._flash_self(q, k, v, attn_mask, rep)
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
                 out = LoraDense(
-                    cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+                    cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype,
+                    quant=cfg.weight_quant, name="o_proj"
                 )(out, deterministic)
                 return out, new_cache
             k, v = ck, cv
@@ -296,7 +348,8 @@ class LlamaAttention(nn.Module):
             out = self._flash_self(q, k, v, attn_mask, rep)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
             out = LoraDense(
-                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype,
+                quant=cfg.weight_quant, name="o_proj"
             )(out, deterministic)
             return out, new_cache
         # GQA: repeat kv heads
@@ -315,7 +368,8 @@ class LlamaAttention(nn.Module):
         out = dot_product_attention(q, k, v, mask=mask, scale=1.0 / math.sqrt(hd))
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
         out = LoraDense(
-            cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype, name="o_proj"
+            cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype,
+            quant=cfg.weight_quant, name="o_proj"
         )(out, deterministic)
         return out, new_cache
 
@@ -327,10 +381,18 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
+        if cfg.weight_quant:
+            dense = lambda feats, name: QuantDense(
+                feats, mode=cfg.weight_quant, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, use_bias=False, dtype=self.dtype, name=name
+            )
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
         h = nn.silu(gate) * up
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(h)
+        return dense(cfg.hidden_size, "down_proj")(h)
 
 
 class LlamaLayer(nn.Module):
@@ -372,12 +434,25 @@ class LlamaModel(nn.Module):
             for i in range(self.cfg.num_layers)
         ]
         self.norm = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="norm")
+        if self.cfg.weight_quant:
+            # quantized copy of embed^T for the tied lm_head: the unembed
+            # matmul re-reads the full [V, D] table every decode step (~788 MB
+            # bf16 at 3B scale) — int8/int4 halves/quarters that traffic.
+            # The float table stays for the (tiny) input gather.
+            self.unembed_proj = QuantDense(
+                self.cfg.vocab_size,
+                mode=self.cfg.weight_quant,
+                dtype=jnp.float32,
+                name="unembed_q",
+            )
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(input_ids)
 
     def unembed(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Tied lm_head: hidden @ embed^T -> logits (fp32)."""
+        if self.cfg.weight_quant:
+            return self.unembed_proj(hidden)
         emb = self.embed_tokens.embedding
         return jnp.einsum(
             "btd,vd->btv", hidden, emb.astype(self.dtype), preferred_element_type=jnp.float32
@@ -773,3 +848,48 @@ def pipeline_lm_forward(
     return jnp.einsum(
         "btd,vd->btv", h, emb.astype(dtype), preferred_element_type=jnp.float32
     )
+
+
+def quantize_llama_params(params: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
+    """Float LLaMA param tree -> weight-quantized serving layout.
+
+    mode="int8": every attention projection's base kernel and every MLP
+    kernel becomes {w_q int8, w_scale f32} (per-output-channel symmetric).
+    mode="int4": {w_packed int8 (two nibbles/byte), w_scale [groups, d_out]}
+    (symmetric group-128 — the TPU analog of the reference's NF4 4-bit,
+    src/model.py:231-238).  LoRA adapters, norms and embeddings stay float.
+    Shapes/locations match what QuantDense declares, so the converted tree
+    drops straight into LlamaModel(cfg with weight_quant=mode).apply.
+    """
+    from ..ops.int8_matmul import quantize_kernel, quantize_kernel_int4
+
+    def q(node):
+        if mode == "int4":
+            w_p, scale = quantize_kernel_int4(node["kernel"])
+            return {"w_packed": w_p, "w_scale": scale}
+        w_q, scale = quantize_kernel(node["kernel"])
+        return {"w_q": w_q, "w_scale": scale}
+
+    out: Dict[str, Any] = {}
+    # tied-lm-head copy: quantized embed^T for the unembed matmul (the float
+    # table is kept for the input gather)
+    out["unembed_q"] = q(
+        {"kernel": jnp.asarray(params["embed_tokens"]["embedding"]).T}
+    )
+    for k, v in params.items():
+        if not k.startswith("layers_"):
+            out[k] = v
+            continue
+        layer = dict(v)
+        sa = dict(layer["self_attn"])
+        for pn in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            node = dict(sa[pn])
+            node["base_q"] = q(node.pop("base"))
+            sa[pn] = node
+        layer["self_attn"] = sa
+        mlp = dict(layer["mlp"])
+        for pn in ("gate_proj", "up_proj", "down_proj"):
+            mlp[pn] = q(mlp[pn])
+        layer["mlp"] = mlp
+        out[k] = layer
+    return out

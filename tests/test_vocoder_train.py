@@ -63,6 +63,7 @@ def test_gan_train_step_runs_and_updates(rng):
     assert sp_delta > 0
 
 
+@pytest.mark.slow
 def test_gan_valid_and_generate(rng):
     model = VocoderModel(tiny_cfg())
     state = model.init_state(jax.random.PRNGKey(0), mel_frames=10)
