@@ -83,6 +83,10 @@ def main():
         "--int4", action="store_true",
         help="int4-g128 weight-only LLaMA decode (nibble-packed Pallas matmul)",
     )
+    parser.add_argument(
+        "--breakdown", action="store_true",
+        help="also time encoders+prompt-assembly and prefill+decode separately",
+    )
     args = parser.parse_args()
 
     import jax
@@ -210,6 +214,8 @@ def main():
         out["video"] = bt["video"] + eps
         return out
 
+    perturb_like = jax.jit(lambda x, eps: x + jnp.asarray(eps, x.dtype))
+
     batches = []
     for r in range(args.repeats):
         b2 = perturb(batch, jnp.float32(0.001 * (r + 1)))
@@ -223,6 +229,44 @@ def main():
     wall = min(times)
     audio_seconds = b * (t_v / 25.0)
     rtf = audio_seconds / wall
+
+    breakdown = {}
+    if args.breakdown:
+        # stage A: encoders + Q-Former + left-pad prompt assembly
+        @jax.jit
+        def prompt_only(v, bt):
+            return system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
+
+        emb0, mask0 = prompt_only(variables, batch)
+        sync(emb0[:1, :1, :2])
+        times_a = []
+        for b2 in batches:
+            t0 = time.perf_counter()
+            sync(prompt_only(variables, b2)[0][:1, :1, :2])
+            times_a.append(time.perf_counter() - t0)
+        breakdown["encoders_prompt_s"] = round(min(times_a), 4)
+
+        # stage B: LLaMA prefill + beam decode on a precomputed prompt
+        @jax.jit
+        def decode_only(v, emb, mask):
+            llama_vars = {"params": v["params"]["llama"]}
+            seqs, _ = generate_beam(
+                system.llama_module, llama_vars, emb, mask,
+                eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
+                num_beams=args.beams, max_new_tokens=args.new_tokens,
+                cache_dtype=jnp.bfloat16,
+            )
+            return seqs
+
+        sync(decode_only(variables, emb0, mask0))
+        times_b = []
+        for i in range(args.repeats):
+            emb_i = perturb_like(emb0, 0.001 * (i + 1))
+            sync(emb_i[:1, :1, :2])
+            t0 = time.perf_counter()
+            sync(decode_only(variables, emb_i, mask0))
+            times_b.append(time.perf_counter() - t0)
+        breakdown["prefill_decode_s"] = round(min(times_b), 4)
 
     # TTFT: encoders + prompt prefill + first token for ONE request
     # (latency metric — BASELINE p50 < 200 ms per utterance)
@@ -306,6 +350,7 @@ def main():
                         prefill_ms["xla"] / max(prefill_ms["flash"], 1e-9), 2
                     ) if prefill_ms else None,
                     "weight_quant": quant_mode,
+                    **({"breakdown": breakdown} if breakdown else {}),
                     "backend": jax.default_backend(),
                 }
             }

@@ -70,6 +70,19 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
     else:
         logger.warning("no checkpoint found at %s — evaluating random init", cfg.checkpoint.save_dir)
 
+    if cfg.generation.weight_quant and hasattr(task, "system"):
+        # serving-format decode (generation.weight_quant=int8|int4): quantize
+        # the LLaMA trunk once; fused Pallas dequant matmuls stream half /
+        # a quarter of the weight bytes per decode step
+        mode = cfg.generation.weight_quant
+        if isinstance(variables, list):
+            variables = [
+                task.system.enable_quantized_decode(v, mode=mode) for v in variables
+            ]
+        else:
+            variables = task.system.enable_quantized_decode(variables, mode=mode)
+        logger.info("decoding with %s weight-only LLaMA", mode)
+
     hyps: List[str] = []
     refs: List[str] = []
     results = []

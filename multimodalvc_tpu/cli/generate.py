@@ -54,6 +54,22 @@ def main():
             mel = mel[None]
         if args.checkpoint and args.checkpoint.endswith((".pt", ".pth")):
             variables = model.import_torch_checkpoint(args.checkpoint, use_ema=args.ema)
+        elif args.checkpoint:
+            # orbax dir written by the vocoder training loop
+            # (cli/train.py:_vocoder_loop saves {gen_params, ema_params})
+            from ..runtime.checkpoint import CheckpointManager
+
+            tmpl = model.init_state(jax.random.PRNGKey(0)).gen_params
+            restored = CheckpointManager(os.path.dirname(args.checkpoint) or ".").restore(
+                {"gen_params": tmpl, "ema_params": tmpl},
+                name=os.path.basename(args.checkpoint.rstrip("/")),
+            )
+            if restored is None:
+                raise SystemExit(f"no restorable checkpoint at {args.checkpoint}")
+            variables = {
+                "params": restored["ema_params" if args.ema else "gen_params"]
+            }
+            logger.info("restored vocoder from %s", args.checkpoint)
         else:
             logger.warning("no checkpoint — random vocoder weights")
             variables = {"params": model.init_state(jax.random.PRNGKey(0)).gen_params}

@@ -139,6 +139,9 @@ class GenerationConfig:
     temperature: float = 0.3
     length_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
+    # weight-only quantized decode: None | "int8" | "int4" (serving format;
+    # reference analog: NF4 4-bit via bitsandbytes, src/model.py:231-238)
+    weight_quant: Optional[str] = None
 
 
 @dataclass

@@ -77,6 +77,12 @@ def test_cli_train_then_eval(corpus, tmp_path):
     assert any(f.startswith("hypo-") for f in files)
     assert any(f.startswith("wer.") for f in files)
 
+    # int8 weight-only serving decode through the same CLI
+    # (generation.weight_quant; reference serves NF4 4-bit)
+    cfg.generation.weight_quant = "int8"
+    res_q = eval_main(cfg, results_path=str(tmp_path / "results_q"))
+    assert "wer" in res_q and np.isfinite(res_q["wer"])
+
 
 def test_cli_e2e_gan_train(corpus, tmp_path):
     """E2E waveform GAN fine-tune through the CLI on the synthetic corpus."""
