@@ -274,7 +274,9 @@ def main():
     def first_token(v, bt):
         emb, mask = system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
         llama_vars = {"params": v["params"]["llama"]}
-        out = system.llama_module.apply(llama_vars, inputs_embeds=emb, attn_mask=mask)
+        out = system.llama_module.apply(
+            llama_vars, inputs_embeds=emb, attn_mask=mask, logits_last_only=True
+        )
         return jnp.argmax(out["logits"][:, -1], axis=-1)
 
     def one(bt):

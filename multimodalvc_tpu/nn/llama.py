@@ -469,6 +469,7 @@ class LlamaModel(nn.Module):
         return_hidden: bool = False,
         cache_positions: Optional[jnp.ndarray] = None,
         compute_logits: bool = True,
+        logits_last_only: bool = False,
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -490,8 +491,15 @@ class LlamaModel(nn.Module):
         x = self.norm(x)
         # the Speech head only needs hidden states — skip the [*, vocab]
         # unembed matmul entirely then (reference runs the LM head anyway;
-        # here XLA never materialises it)
-        logits = self.unembed(x) if compute_logits else None
+        # here XLA never materialises it).  Prefill only consumes the FINAL
+        # position's logits: logits_last_only avoids the [B, T, vocab] f32
+        # buffer (~0.9 GB at batch 8 x 210 slots x 128k vocab).
+        if not compute_logits:
+            logits = None
+        elif logits_last_only:
+            logits = self.unembed(x[:, -1:])
+        else:
+            logits = self.unembed(x)
         out = {"logits": logits, "cache": tuple(new_caches) if cache is not None else None}
         if return_hidden:
             out["hidden"] = x
@@ -593,6 +601,7 @@ def generate_beam(
             positions=rope_pos,
             cache=cache,
             cache_positions=slot_pos,
+            logits_last_only=True,
         )
         first_logits = out["logits"][:, -1]  # [B, V]
 

@@ -239,10 +239,14 @@ def int4_matmul(
         w8 = w_packed.astype(jnp.int32)
         lo = ((w8 & 0xF) ^ 8) - 8
         hi = w8 >> 4
-        q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
-        w = (q.reshape(n_groups, group, d_out) * scale[:, None, :]).reshape(d_in, d_out)
+        # dequantize straight to bf16 — an f32 intermediate would double the
+        # (large) temporary weight buffer at prefill
+        q = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+        w = (
+            q.reshape(n_groups, group, d_out) * scale[:, None, :].astype(jnp.bfloat16)
+        ).reshape(d_in, d_out)
         y = jnp.einsum(
-            "rd,df->rf", x2.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            "rd,df->rf", x2.astype(jnp.bfloat16), w,
             preferred_element_type=jnp.float32,
         )
         return y.astype(out_dtype).reshape(*lead, d_out)
