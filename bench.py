@@ -166,6 +166,8 @@ def main():
         for col, tree in enc_vars.items():
             if col != "params":
                 variables[col] = {"encoder": tree}
+        # free the fp32 encoder init (~2.8 GB) — only the bf16 copy serves
+        del enc_vars, enc_params
 
     quant_mode = "int4" if args.int4 else ("int8" if args.int8 else None)
     # the prefill A/B below compares FLOAT kernels; on quantized runs skip it

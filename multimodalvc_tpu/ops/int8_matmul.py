@@ -115,14 +115,33 @@ def int8_matmul(
     return out[:rows].reshape(*lead, d_out)
 
 
-def quantize_kernel(w: jnp.ndarray) -> tuple:
-    """[d_in, d_out] float kernel -> (w_q int8, scale [d_out] f32),
-    symmetric per-output-channel."""
-    w32 = jnp.asarray(w, jnp.float32)
+_QUANT_CHUNK = 4096  # columns per quantization step: bounds the f32 temps
+# (quantizing the 3072 x 128k tied-lm-head copy eagerly otherwise allocates
+# several ~1.6 GB intermediates while the float trunk is still resident —
+# an async allocation failure that surfaces at the next blocking call)
+
+
+@jax.jit
+def _quantize_int8_chunk(w32):
     amax = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-12)
     scale = amax / 127.0
     w_q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127).astype(jnp.int8)
-    return w_q, scale.astype(jnp.float32)
+    return w_q, scale
+
+
+def quantize_kernel(w: jnp.ndarray) -> tuple:
+    """[d_in, d_out] float kernel -> (w_q int8, scale [d_out] f32),
+    symmetric per-output-channel.  Processed in column chunks under jit."""
+    w32 = jnp.asarray(w, jnp.float32)
+    d_out = w32.shape[1]
+    parts = [
+        _quantize_int8_chunk(w32[:, c : c + _QUANT_CHUNK])
+        for c in range(0, d_out, _QUANT_CHUNK)
+    ]
+    return (
+        jnp.concatenate([p[0] for p in parts], axis=1),
+        jnp.concatenate([p[1] for p in parts], axis=0).astype(jnp.float32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -144,24 +163,36 @@ def quantize_kernel(w: jnp.ndarray) -> tuple:
 INT4_GROUP = 128
 
 
-def quantize_kernel_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> tuple:
-    """[d_in, d_out] float kernel -> (packed [d_in//2, d_out] int8,
-    scales [d_in//group, d_out] f32), symmetric int4 per (group, channel)."""
-    w32 = jnp.asarray(w, jnp.float32)
+@functools.partial(jax.jit, static_argnames=("group",))
+def _quantize_int4_chunk(w32, group: int):
     d_in, d_out = w32.shape
-    assert d_in % (2 * group) == 0, (d_in, group)
     g = w32.reshape(d_in // group, group, d_out)
     amax = jnp.maximum(jnp.max(jnp.abs(g), axis=1), 1e-12)  # [G, d_out]
     scale = amax / 7.0
     q = jnp.clip(jnp.round(g / scale[:, None, :]), -7, 7).astype(jnp.int8)
     q = q.reshape(d_in, d_out)
     half = d_in // 2
-    lo = q[:half]
-    hi = q[half:]
     packed = jnp.bitwise_or(
-        jnp.bitwise_and(lo, jnp.int8(0xF)), jnp.left_shift(hi, 4)
+        jnp.bitwise_and(q[:half], jnp.int8(0xF)), jnp.left_shift(q[half:], 4)
     ).astype(jnp.int8)
-    return packed, scale.astype(jnp.float32)
+    return packed, scale
+
+
+def quantize_kernel_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> tuple:
+    """[d_in, d_out] float kernel -> (packed [d_in//2, d_out] int8,
+    scales [d_in//group, d_out] f32), symmetric int4 per (group, channel).
+    Processed in column chunks under jit (see _QUANT_CHUNK)."""
+    w32 = jnp.asarray(w, jnp.float32)
+    d_in, d_out = w32.shape
+    assert d_in % (2 * group) == 0, (d_in, group)
+    parts = [
+        _quantize_int4_chunk(w32[:, c : c + _QUANT_CHUNK], group)
+        for c in range(0, d_out, _QUANT_CHUNK)
+    ]
+    return (
+        jnp.concatenate([p[0] for p in parts], axis=1),
+        jnp.concatenate([p[1] for p in parts], axis=1).astype(jnp.float32),
+    )
 
 
 def _int4_matmul_kernel(
