@@ -214,9 +214,11 @@ def _int4_matmul_kernel(
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    # unpack in i32: Mosaic only legalizes shifts on i32 vectors (i8/i16
+    # shli fails to lower), so the nibble unpack pays 32-bit lane width.
+    # Low nibble: mask + sign-extend via xor/sub; high nibble: arithmetic
+    # shift of the sign-extended byte keeps the sign for free.
     w8 = w_ref[...].astype(jnp.int32)
-    # low nibble: sign-extend 4 bits; high nibble: arithmetic shift of the
-    # sign-extended int8 keeps the sign for free
     lo = ((w8 & 0xF) ^ 8) - 8
     hi = w8 >> 4
     gp = bp // group  # scale rows covered by this block's half-slice

@@ -121,9 +121,14 @@ def test_optimizer_scheduler_matrix(sched, opt):
     assert mask["w"] and not mask["frozen"]["w"]
     state = tx.init(params)
     grads = {"w": jnp.full((4, 4), 0.1), "frozen": {"w": jnp.full((2,), 0.1)}}
-    for _ in range(8):
+
+    @jax.jit
+    def step(grads, state, params):
         updates, state = tx.update(grads, state, params)
-        params = optax.apply_updates(params, updates)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(8):
+        params, state = step(grads, state, params)
     assert np.isfinite(np.asarray(params["w"])).all()
     assert not np.allclose(np.asarray(params["w"]), 1.0)  # trainable moved
     np.testing.assert_array_equal(np.asarray(params["frozen"]["w"]), 1.0)  # frozen didn't
@@ -209,12 +214,17 @@ def test_triangular_and_manual_schedules():
     tx, _ = build_optimizer(cfg, params, [])
     state = tx.init(params)
     g = {"w": jnp.ones((4,))}
+
+    @jax.jit
+    def step(state, p, tx=tx):
+        u, state = tx.update(g, state, p)
+        return state, optax.apply_updates(p, u)
+
     lrs = []
     p = params
     for _ in range(21):
         prev = p["w"][0]
-        u, state = tx.update(g, state, p)
-        p = optax.apply_updates(p, u)
+        state, p = step(state, p)
         lrs.append(float(prev - p["w"][0]))
     assert abs(lrs[10] - 1.0) < 0.1  # peak near step 10
     assert lrs[0] < 0.3 and lrs[20] < 0.3  # floors at the cycle ends
@@ -223,11 +233,16 @@ def test_triangular_and_manual_schedules():
                               clip_norm=0, lr_milestones={"5": 0.25, "10": 0.125})
     tx2, _ = build_optimizer(cfg2, params, [])
     state2 = tx2.init(params)
+
+    @jax.jit
+    def step2(state, p):
+        u, state = tx2.update(g, state, p)
+        return state, optax.apply_updates(p, u)
+
     p = params
     lrs2 = []
     for _ in range(12):
         prev = p["w"][0]
-        u, state2 = tx2.update(g, state2, p)
-        p = optax.apply_updates(p, u)
+        state2, p = step2(state2, p)
         lrs2.append(round(float(prev - p["w"][0]), 4))
     assert lrs2[0] == 0.5 and lrs2[6] == 0.25 and lrs2[11] == 0.125
