@@ -134,8 +134,8 @@ def flash_attention(
     kv_lens: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     kv_starts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -147,9 +147,24 @@ def flash_attention(
     prompt assembly (models/avsr.py assemble_left_padded) folds into the
     kernel.  Head dim should be a multiple of 128 for peak MXU efficiency but
     any size compiles.  interpret=None auto-enables interpreter mode off-TPU.
+
+    block_q/block_k default to a shape-based choice (v5e sweep, bench.py
+    history): long low-head-dim encoder sequences want big 512x512 blocks
+    (4.4x over 128x128 at Whisper's [8,16,1500,64]); short or 128-wide
+    sequences keep 128x128 (larger blocks lose to padding waste at LLaMA's
+    [8,24,210,128] prefill).
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    if block_q is None or block_k is None:
+        if d <= 64 and tq >= 1024:
+            auto_q, auto_k = 512, 512
+        elif d <= 64 and tq >= 384:
+            auto_q, auto_k = 256, 256
+        else:
+            auto_q, auto_k = 128, 128
+        block_q = block_q or auto_q
+        block_k = block_k or auto_k
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
