@@ -291,31 +291,43 @@ class LlamaAttention(nn.Module):
             nb, tp = pk.shape[0], pk.shape[2]
             kbeams = b // nb
             scale = 1.0 / math.sqrt(hd)
+            # GQA as grouped einsums: q reshaped to [.., hkv, rep, ..] dots
+            # straight against the hkv-headed KV — a jnp.repeat here would
+            # materialise rep x the entire cache in HBM EVERY decode step
+            # (~1.5 GB/step at batch 8 x beam 5), which made decode scale
+            # with rows instead of weight bandwidth.
+            pk_c = pk.astype(self.dtype)
+            pv_c = pv.astype(self.dtype)
             # prompt segment: q against shared keys, no per-beam copies
-            pk_r = jnp.repeat(pk, rep, axis=1).astype(self.dtype)
-            pv_r = jnp.repeat(pv, rep, axis=1).astype(self.dtype)
-            q_r = q.reshape(nb, kbeams, h, t, hd)
+            q_r = q.reshape(nb, kbeams, hkv, rep, t, hd)
             s_p = jnp.einsum(
-                "bkhtd,bhpd->bkhtp", q_r, pk_r, preferred_element_type=jnp.float32
+                "bkgrtd,bgpd->bkgrtp", q_r, pk_c, preferred_element_type=jnp.float32
             ) * scale
             pmask = cache["prompt_mask"].astype(bool)  # [B, Tp]
-            s_p = jnp.where(pmask[:, None, None, None, :], s_p, -1e30)
+            s_p = jnp.where(pmask[:, None, None, None, None, :], s_p, -1e30)
             s_p = s_p.reshape(b, h, t, tp)
             # generated segment: per-beam, causal on write slots
-            k_g = jnp.repeat(ck, rep, axis=1).astype(self.dtype)
-            v_g = jnp.repeat(cv, rep, axis=1).astype(self.dtype)
+            q_g = q.reshape(b, hkv, rep, t, hd)
             s_g = jnp.einsum(
-                "Bhtd,Bhgd->Bhtg", q, k_g, preferred_element_type=jnp.float32
+                "Bgrtd,Bgld->Bgrtl", q_g, ck.astype(self.dtype),
+                preferred_element_type=jnp.float32,
             ) * scale
-            tg = k_g.shape[2]
+            tg = ck.shape[2]
+            s_g = s_g.reshape(b, h, t, tg)
             gen_valid = jnp.arange(tg)[None, None, None, :] <= (idx + t - 1)
             s_g = jnp.where(gen_valid, s_g, -1e30)
             w = jax.nn.softmax(jnp.concatenate([s_p, s_g], axis=-1), axis=-1)
             w_p, w_g = w[..., :tp], w[..., tp:]
             out_p = jnp.einsum(
-                "bkhtp,bhpd->bkhtd", w_p.reshape(nb, kbeams, h, t, tp).astype(self.dtype), pv_r
+                "bkgrtp,bgpd->bkgrtd",
+                w_p.reshape(nb, kbeams, hkv, rep, t, tp).astype(self.dtype),
+                pv_c,
             ).reshape(b, h, t, hd)
-            out_g = jnp.einsum("Bhtg,Bhgd->Bhtd", w_g.astype(self.dtype), v_g)
+            out_g = jnp.einsum(
+                "Bgrtl,Bgld->Bgrtd",
+                w_g.reshape(b, hkv, rep, t, tg).astype(self.dtype),
+                cv.astype(self.dtype),
+            ).reshape(b, h, t, hd)
             out = out_p + out_g
             out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
             out = LoraDense(
