@@ -364,10 +364,6 @@ class LlamaAttention(nn.Module):
                 quant=cfg.weight_quant, name="o_proj"
             )(out, deterministic)
             return out, new_cache
-        # GQA: repeat kv heads
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-
         tkv = k.shape[2]
         # causal mask over cache SLOT indices (left-padded rows have RoPE
         # position < slot id, so positions must not drive causality here)
@@ -377,7 +373,19 @@ class LlamaAttention(nn.Module):
         if attn_mask is not None:
             mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
 
-        out = dot_product_attention(q, k, v, mask=mask, scale=1.0 / math.sqrt(hd))
+        if rep == 1:
+            out = dot_product_attention(q, k, v, mask=mask, scale=1.0 / math.sqrt(hd))
+        else:
+            # grouped GQA — no jnp.repeat: a repeated cache copy would cost
+            # rep x the cache's HBM traffic every cached decode step
+            qg = q.reshape(b, hkv, rep, t, hd)
+            s = jnp.einsum(
+                "bgrtd,bgld->bgrtl", qg, k, preferred_element_type=jnp.float32
+            ) * (1.0 / math.sqrt(hd))
+            s = jnp.where(mask[:, :, None, :, :], s, -1e30)
+            w = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bgrtl,bgld->bgrtd", w.astype(self.dtype), v)
+            out = out.reshape(b, h, t, hd)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
         out = LoraDense(
             cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype,
