@@ -467,7 +467,12 @@ class LlamaModel(nn.Module):
             )
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        return self.embed_tokens(input_ids)
+        # gather rows FIRST, then cast: flax's nn.Embed casts the whole
+        # [V, D] table to the compute dtype before the take — a 1.6 GB
+        # convert per decode step when table and compute dtypes differ
+        # (profiled at 3.8 ms/step)
+        table = self.embed_tokens.embedding
+        return jnp.take(table, input_ids, axis=0).astype(self.dtype)
 
     def unembed(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Tied lm_head: hidden @ embed^T -> logits (fp32)."""
@@ -492,7 +497,7 @@ class LlamaModel(nn.Module):
         logits_last_only: bool = False,
     ):
         if inputs_embeds is None:
-            inputs_embeds = self.embed_tokens(input_ids)
+            inputs_embeds = self.embed(input_ids)
         x = inputs_embeds.astype(self.dtype)
         b, t = x.shape[:2]
         if positions is None:

@@ -43,12 +43,30 @@ def _unflatten_beam(x, b, k):
 
 
 def _gather_beams(tree, indices, b, k):
-    """Select beams: indices [B, K] into the K axis of [B, K, ...] leaves."""
+    """Select beams: indices [B, K] into the K axis of [B, K, ...] leaves.
+
+    Large float leaves (the KV cache) reorder via a one-hot einsum: XLA
+    lowers take_along_axis over a big trailing dim to a K-way select chain
+    that re-reads the whole cache K times per step (quadratic in beams —
+    measured 4x decode slowdown going beam 5 -> 10).  A one-hot [B, K, K]
+    contraction reads each cache byte once and is exact (1.0/0.0 weights
+    select values bit-exactly)."""
+    onehot = None
 
     def gather(x):
+        nonlocal onehot
         if x.ndim == 0 or x.shape[0] != b * k:
             return x  # scalar leaves (e.g. cache write index) are beam-invariant
         xb = _unflatten_beam(x, b, k)
+        if xb.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) and xb.size >= (1 << 18):
+            if onehot is None:
+                onehot = jax.nn.one_hot(indices, k, dtype=xb.dtype)  # [B, K, K]
+            flat = xb.reshape(b, k, -1)
+            out = jnp.einsum(
+                "bkj,bjf->bkf", onehot.astype(xb.dtype), flat,
+                preferred_element_type=xb.dtype,
+            ).reshape(xb.shape)
+            return _flatten_beam(out)
         out = jnp.take_along_axis(
             xb, indices.reshape((b, k) + (1,) * (xb.ndim - 2)), axis=1
         )

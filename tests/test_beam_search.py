@@ -291,3 +291,25 @@ def test_ensemble_distinct_members_and_prompt_lengths(pair, rng):
     assert seqs.shape == (2, 3, 8)
     assert np.isfinite(np.asarray(scores)).all()
     assert (np.asarray(seqs) >= 0).all()
+
+
+def test_gather_beams_onehot_path_exact(rng):
+    """Large float leaves reorder via the one-hot einsum (single-pass cache
+    traffic); must select bit-exactly what take_along_axis selects."""
+    from multimodalvc_tpu.ops.beam_search import _gather_beams
+
+    b, k = 2, 5
+    big = jnp.asarray(
+        rng.standard_normal((b * k, 4, 64, 128)).astype(np.float32)
+    ).astype(jnp.bfloat16)  # 2^18+ elements -> one-hot path
+    small = jnp.asarray(rng.integers(0, 9, (b * k, 7)), jnp.int32)
+    idx = jnp.asarray([[4, 0, 0, 2, 1], [3, 3, 1, 0, 4]], jnp.int32)
+    out = _gather_beams({"big": big, "small": small, "idx0": jnp.zeros(())}, idx, b, k)
+    bb = np.asarray(big).reshape(b, k, 4, 64, 128)
+    expect = np.stack([bb[i, np.asarray(idx)[i]] for i in range(b)]).reshape(
+        b * k, 4, 64, 128
+    )
+    np.testing.assert_array_equal(np.asarray(out["big"], np.float32), expect.astype(np.float32))
+    ss = np.asarray(small).reshape(b, k, 7)
+    exp_s = np.stack([ss[i, np.asarray(idx)[i]] for i in range(b)]).reshape(b * k, 7)
+    np.testing.assert_array_equal(np.asarray(out["small"]), exp_s)
