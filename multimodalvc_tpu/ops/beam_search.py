@@ -48,9 +48,11 @@ def _gather_beams(tree, indices, b, k):
     Large float leaves (the KV cache) reorder via a one-hot einsum: XLA
     lowers take_along_axis over a big trailing dim to a K-way select chain
     that re-reads the whole cache K times per step (quadratic in beams —
-    measured 4x decode slowdown going beam 5 -> 10).  A one-hot [B, K, K]
-    contraction reads each cache byte once and is exact (1.0/0.0 weights
-    select values bit-exactly)."""
+    measured 3x decode slowdown going beam 5 -> 10 at equal rows).  A one-hot
+    [B, K, K] contraction reads each cache byte once and is exact (1.0/0.0
+    weights select values bit-exactly).  Gated to k >= 8: at small K the
+    select lowering is competitive and the einsum's tile padding loses
+    (measured at beam 5)."""
     onehot = None
 
     def gather(x):
@@ -58,7 +60,11 @@ def _gather_beams(tree, indices, b, k):
         if x.ndim == 0 or x.shape[0] != b * k:
             return x  # scalar leaves (e.g. cache write index) are beam-invariant
         xb = _unflatten_beam(x, b, k)
-        if xb.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) and xb.size >= (1 << 18):
+        if (
+            k >= 8
+            and xb.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+            and xb.size >= (1 << 18)
+        ):
             if onehot is None:
                 onehot = jax.nn.one_hot(indices, k, dtype=xb.dtype)  # [B, K, K]
             flat = xb.reshape(b, k, -1)

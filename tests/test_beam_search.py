@@ -298,12 +298,14 @@ def test_gather_beams_onehot_path_exact(rng):
     traffic); must select bit-exactly what take_along_axis selects."""
     from multimodalvc_tpu.ops.beam_search import _gather_beams
 
-    b, k = 2, 5
+    b, k = 2, 8  # one-hot path is gated to k >= 8
     big = jnp.asarray(
         rng.standard_normal((b * k, 4, 64, 128)).astype(np.float32)
     ).astype(jnp.bfloat16)  # 2^18+ elements -> one-hot path
     small = jnp.asarray(rng.integers(0, 9, (b * k, 7)), jnp.int32)
-    idx = jnp.asarray([[4, 0, 0, 2, 1], [3, 3, 1, 0, 4]], jnp.int32)
+    idx = jnp.asarray(
+        [[4, 0, 0, 2, 1, 7, 6, 6], [3, 3, 1, 0, 4, 5, 2, 7]], jnp.int32
+    )
     out = _gather_beams({"big": big, "small": small, "idx0": jnp.zeros(())}, idx, b, k)
     bb = np.asarray(big).reshape(b, k, 4, 64, 128)
     expect = np.stack([bb[i, np.asarray(idx)[i]] for i in range(b)]).reshape(
