@@ -27,7 +27,9 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.constant(self.init), (self.channels,))
-        return jnp.where(x >= 0, x, alpha * x)
+        # compute in x's dtype: an f32 alpha would promote the whole (large)
+        # activation tensor to f32, doubling its HBM traffic through the stack
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 class BasicBlock(nn.Module):
