@@ -106,7 +106,9 @@ class AVSRTask:
         return self.system.init(rng, self.prepare_batch(sample_batch))
 
     def make_loss_fn(self):
-        if self.cfg.pipeline_microbatches > 0:
+        # getattr: duck-typed task configs (e.g. the benchmark dummy task)
+        # may predate the pipeline field
+        if getattr(self.cfg, "pipeline_microbatches", 0) > 0:
             from .parallel.mesh import get_current_mesh
 
             mesh = get_current_mesh()
