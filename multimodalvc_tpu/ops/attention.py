@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -148,6 +149,11 @@ def flash_attention(
     kernel.  Head dim should be a multiple of 128 for peak MXU efficiency but
     any size compiles.  interpret=None auto-enables interpreter mode off-TPU.
 
+    Differentiable: ``jax.grad`` through this function uses a custom VJP whose
+    backward recomputes attention on the XLA reference path (a [Tq, Tk] score
+    transient exists only inside the backward pass, at training lengths this
+    is cheap; the forward never materialises it).
+
     block_q/block_k default to a shape-based choice (v5e sweep, bench.py
     history): long low-head-dim encoder sequences want big 512x512 blocks
     (4.4x over 128x128 at Whisper's [8,16,1500,64]); short or 128-wide
@@ -174,7 +180,78 @@ def flash_attention(
     if kv_starts is None:
         kv_starts = jnp.zeros((b,), dtype=jnp.int32)
     kv_starts = kv_starts.astype(jnp.int32)
+    return _flash_attention(
+        q, k, v, kv_lens, kv_starts, causal, scale, block_q, block_k,
+        bool(interpret),
+    )
 
+
+def _windowed_reference_attention(q, k, v, kv_lens, kv_starts, causal, scale):
+    """XLA attention with the kernel's exact masking semantics: valid columns
+    are [kv_starts, kv_lens), causal means col <= row (row index == slot), and
+    fully-masked rows yield exact zeros (matching the kernel's finish step)."""
+    tq, tk = q.shape[2], k.shape[2]
+    col = jnp.arange(tk)[None, None, None, :]
+    mask = jnp.logical_and(
+        col >= kv_starts[:, None, None, None], col < kv_lens[:, None, None, None]
+    )
+    if causal:
+        row = jnp.arange(tq)[None, None, :, None]
+        mask = jnp.logical_and(mask, col <= row)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = jnp.where(mask, s * scale, NEG_INF)
+    probs = jax.nn.softmax(s, axis=-1)
+    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+    probs = jnp.where(any_valid, probs, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, kv_lens, kv_starts, causal, scale, block_q,
+                     block_k, interpret):
+    return _flash_attention_impl(
+        q, k, v, kv_lens, kv_starts, causal, scale, block_q, block_k, interpret
+    )
+
+
+def _flash_attention_fwd(q, k, v, kv_lens, kv_starts, causal, scale, block_q,
+                         block_k, interpret):
+    out = _flash_attention_impl(
+        q, k, v, kv_lens, kv_starts, causal, scale, block_q, block_k, interpret
+    )
+    return out, (q, k, v, kv_lens, kv_starts)
+
+
+def _flash_attention_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v, kv_lens, kv_starts = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _windowed_reference_attention(
+            q_, k_, v_, kv_lens, kv_starts, causal, scale
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g.astype(q.dtype))
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, f0(kv_lens), f0(kv_starts)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _flash_attention_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_lens: jnp.ndarray,
+    kv_starts: jnp.ndarray,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
     tq_p = -(-tq // block_q) * block_q
     tk_p = -(-tk // block_k) * block_k
     if tq_p != tq:

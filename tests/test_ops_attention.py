@@ -102,3 +102,53 @@ def test_llama_flash_prefill_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got) * vr, np.asarray(ref) * vr, rtol=2e-3, atol=2e-3
     )
+
+
+def test_flash_grad_matches_reference(rng):
+    """jax.grad through flash_attention (custom VJP, ADVICE r2 high) matches
+    grad through the XLA reference path, including causal + left-pad window."""
+    q, k, v = _rand_qkv(rng, b=2, h=2, tq=256, tk=256)
+    starts = jnp.asarray([0, 64], dtype=jnp.int32)
+    cols = jnp.arange(256)[None, None, None, :]
+    rows = jnp.arange(256)[None, None, :, None]
+    win = (cols >= starts[:, None, None, None]) & (cols <= rows)
+    # weight rows so fully-masked (pad) rows do not contribute to the loss,
+    # mirroring how the training loss masks padding
+    valid_row = (rows[..., 0] >= starts[:, None, None])[..., None]
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, kv_starts=starts, causal=True, interpret=True)
+        return jnp.sum((o * valid_row) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        o = dot_product_attention(q_, k_, v_, mask=win)
+        return jnp.sum((o * valid_row) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_llama_train_forward_differentiable(rng):
+    """Regression for ADVICE r2 high: the training forward (cache=None) with
+    T>=128 and flash explicitly enabled must be differentiable."""
+    from multimodalvc_tpu.nn.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(
+        hidden_size=128, intermediate_size=256, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=64, vocab_size=64,
+        use_flash_prefill=True,
+    )
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2, 128)), dtype=jnp.int32)
+    attn_mask = jnp.ones((2, 128), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn_mask=attn_mask)
+
+    def loss(p):
+        out = model.apply(p, tokens, attn_mask=attn_mask)
+        return jnp.mean(out["logits"].astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
