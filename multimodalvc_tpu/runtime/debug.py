@@ -146,15 +146,19 @@ class Watchdog:
         return False
 
 
-def _batch_rows(batch) -> int:
-    for v in batch.values():
-        if hasattr(v, "ndim") and v.ndim >= 1:
-            return int(v.shape[0])
-    return 0
+def _batch_rows(batch, batch_key: Optional[str] = None) -> int:
+    """Batch size = dim 0 of the designated key, else the max dim 0 over all
+    array values (the rule pad_batch_to_multiple pads by — the first array's
+    dim 0 is not guaranteed batch-leading)."""
+    if batch_key is not None and hasattr(batch.get(batch_key), "ndim"):
+        return int(batch[batch_key].shape[0])
+    sizes = [int(v.shape[0]) for v in batch.values()
+             if hasattr(v, "ndim") and v.ndim >= 1]
+    return max(sizes) if sizes else 0
 
 
-def _slice_batch(batch, lo: int, hi: int):
-    b = _batch_rows(batch)
+def _slice_batch(batch, lo: int, hi: int, batch_key: Optional[str] = None):
+    b = _batch_rows(batch, batch_key)
     return {
         k: (v[lo:hi] if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b else v)
         for k, v in batch.items()
@@ -166,24 +170,50 @@ def is_oom_error(e: BaseException) -> bool:
     return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
 
 
-def with_oom_batch_split(fn, batch, max_splits: int = 3) -> list:
+def with_oom_batch_split(fn, batch, max_splits: int = 3, pad_multiple: int = 1,
+                         batch_key: Optional[str] = None) -> list:
     """Run ``fn(batch)``; on device OOM, halve the batch and retry each half
     (reference: fairseq trainer.py:955+ valid_step ran OOM batches again at
     half size).  Returns a LIST of per-chunk results so callers aggregate
     with their usual weighting.  Non-OOM errors propagate; a single-row OOM
-    or exhausted split budget re-raises."""
+    or exhausted split budget re-raises.
+
+    ``pad_multiple``: mesh batch-divisibility requirement (data*fsdp axis
+    size) — each retried half is re-padded to this multiple so sharded steps
+    keep their invariant AND halves of equal-size batches share one compiled
+    program instead of forcing fresh compiles right after an OOM.
+    ``batch_key``: name of the array whose dim 0 defines the batch size
+    (defaults to the max dim 0 over all arrays, pad_batch_to_multiple's rule).
+    """
+    def _repad(b_):
+        # repeat-last-row padding keyed on the SAME batch axis as the slice
+        # (pad_batch_to_multiple keys on max dim 0, which may be a non-batch
+        # array here)
+        rows_ = _batch_rows(b_, batch_key)
+        target = -(-rows_ // max(1, pad_multiple)) * max(1, pad_multiple)
+        if target == rows_:
+            return b_
+        reps = np.concatenate([np.arange(rows_), np.full(target - rows_, rows_ - 1)])
+        return {
+            k: (v[reps] if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == rows_
+                else v)
+            for k, v in b_.items()
+        }
+
     try:
         return [fn(batch)]
     except Exception as e:  # jaxlib XlaRuntimeError and friends
         if not is_oom_error(e):
             raise
-        rows = _batch_rows(batch)
-        if rows <= 1 or max_splits <= 0:
+        rows = _batch_rows(batch, batch_key)
+        if rows <= max(1, pad_multiple) or max_splits <= 0:
             raise
         logger.warning(
             "device OOM on a %d-row batch — retrying as two halves (%d splits left)",
             rows, max_splits - 1,
         )
         half = rows // 2
-        return with_oom_batch_split(fn, _slice_batch(batch, 0, half), max_splits - 1) + \
-            with_oom_batch_split(fn, _slice_batch(batch, half, rows), max_splits - 1)
+        lo = _repad(_slice_batch(batch, 0, half, batch_key))
+        hi = _repad(_slice_batch(batch, half, rows, batch_key))
+        return with_oom_batch_split(fn, lo, max_splits - 1, pad_multiple, batch_key) + \
+            with_oom_batch_split(fn, hi, max_splits - 1, pad_multiple, batch_key)

@@ -102,3 +102,44 @@ def test_oom_batch_split_reraises_non_oom_and_exhausted():
 
     with pytest.raises(RuntimeError):
         with_oom_batch_split(always_oom, {"x": np.arange(4.0)})
+
+
+def test_oom_batch_split_repads_to_multiple_and_uses_batch_key():
+    """ADVICE r2 medium: retried halves must keep the mesh batch-divisibility
+    invariant, and the batch axis must come from the right array (not the
+    first dict value, which may not be batch-leading)."""
+    import numpy as np
+    from multimodalvc_tpu.runtime.debug import with_oom_batch_split
+
+    calls = []
+
+    def fake_step(batch):
+        b = batch["tokens"].shape[0]
+        calls.append(b)
+        if b > 4:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return b
+
+    batch = {
+        # a non-batch-leading array listed FIRST (dim 0 = 17 != batch)
+        "lut": np.zeros((17, 3)),
+        "tokens": np.arange(6 * 2).reshape(6, 2),
+    }
+    out = with_oom_batch_split(fake_step, batch, pad_multiple=4, batch_key="tokens")
+    # 6 OOMs -> halves of 3 re-padded to 4; every retried call is a multiple of 4
+    assert out == [4, 4]
+    assert all(c % 4 == 0 or c == 6 for c in calls)
+
+
+def test_oom_batch_split_stops_at_pad_multiple():
+    import numpy as np
+    import pytest
+    from multimodalvc_tpu.runtime.debug import with_oom_batch_split
+
+    def always_oom(batch):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    # rows == pad_multiple: splitting further can't help (halves re-pad back
+    # to the same size) -> re-raise instead of looping
+    with pytest.raises(RuntimeError):
+        with_oom_batch_split(always_oom, {"x": np.zeros((4, 2))}, pad_multiple=4)
