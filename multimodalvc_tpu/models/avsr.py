@@ -380,11 +380,14 @@ class AVSRSystem:
 
         def loss_fn(params, collections, batch, rng):
             variables = {"params": params, **(collections or {})}
+            prompt_rng, trunk_rng = jax.random.split(rng)
             emb, attn_mask, labels = self.module.apply(
                 variables, batch, True,
-                rngs={"dropout": rng},
+                rngs={"dropout": prompt_rng},
                 method=AVSRModel.prompt_for_training,
             )
+            lora = cfg.llama.lora
+            use_dropout = lora is not None and getattr(lora, "dropout", 0.0) > 0
             logits = pipeline_lm_forward(
                 cfg.llama,
                 {"params": params["llama"]},
@@ -393,6 +396,9 @@ class AVSRSystem:
                 mesh,
                 n_microbatches,
                 dtype=self.module.dtype,
+                # LoRA dropout now runs in PP too (reference trains with
+                # dropout 0.05, src/model.py:244-252)
+                dropout_rng=trunk_rng if use_dropout else None,
             )
             loss, n_correct, n_valid = cross_entropy_lm_loss(logits, labels)
             metrics = {

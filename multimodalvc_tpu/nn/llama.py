@@ -827,6 +827,7 @@ def pipeline_lm_forward(
     mesh,
     n_microbatches: int,
     dtype: jnp.dtype = jnp.float32,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Training forward with the decoder layers split over the mesh
     'pipeline' axis (GPipe schedule, parallel/pipeline.py) — the product
@@ -837,8 +838,11 @@ def pipeline_lm_forward(
     fp32 logits [B, T, V].  Composes with data parallelism: the batch dim
     stays sharded over (data, fsdp).
 
-    Deterministic (no dropout) — pipeline training runs LoRA/attention
-    dropout off, like large-scale LLM fine-tunes typically do.
+    ``dropout_rng`` threads LoRA dropout through the pipeline stages (the
+    reference fine-tunes with LoRA dropout 0.05, src/model.py:244-252): each
+    stage folds (stage, microbatch, data-shard, layer) into the base key so
+    every layer application gets an independent stream.  None = deterministic
+    forward (validation / inference).
     """
     from ..parallel.pipeline import microbatch, pipeline_apply, unmicrobatch
 
@@ -857,22 +861,50 @@ def pipeline_lm_forward(
 
     layer_mod = LlamaLayer(cfg, dtype)
     stacked = stack_layer_params(params, cfg.num_layers, n_stages)
+    per_stage_layers = cfg.num_layers // n_stages
 
     def stage_fn(stage_params, h, c):
-        def body(carry, lp):
+        if dropout_rng is None:
+            def body(carry, lp):
+                out, _ = layer_mod.apply(
+                    {"params": lp}, carry, c["positions"], c["mask"]
+                )
+                return out, None
+
+            h, _ = jax.lax.scan(body, h, stage_params)
+            return h
+
+        # independent dropout stream per (stage, microbatch, data shard,
+        # layer): runs inside shard_map, so axis_index gives the position
+        stage = jax.lax.axis_index("pipeline")
+        shard = jax.lax.axis_index("data") * mesh.shape["fsdp"] + jax.lax.axis_index("fsdp")
+        key = jax.random.fold_in(dropout_rng, stage)
+        key = jax.random.fold_in(key, c["mb_id"][0])
+        key = jax.random.fold_in(key, shard)
+
+        def body(carry, xs):
+            lp, li = xs
             out, _ = layer_mod.apply(
-                {"params": lp}, carry, c["positions"], c["mask"]
+                {"params": lp}, carry, c["positions"], c["mask"],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(key, li)},
             )
             return out, None
 
-        h, _ = jax.lax.scan(body, h, stage_params)
+        h, _ = jax.lax.scan(body, h, (stage_params, jnp.arange(per_stage_layers)))
         return h
 
     xm = microbatch(x, n_microbatches)
+    mb_rows = b // n_microbatches
     consts = {
         "positions": microbatch(positions, n_microbatches),
         "mask": microbatch(mask, n_microbatches),
     }
+    if dropout_rng is not None:
+        consts["mb_id"] = jnp.broadcast_to(
+            jnp.arange(n_microbatches, dtype=jnp.int32)[:, None],
+            (n_microbatches, mb_rows),
+        )
     h = pipeline_apply(
         stage_fn, stacked, xm, mesh, consts=consts, batch_axes=("data", "fsdp")
     )
