@@ -69,12 +69,24 @@ def make_mesh(
     axis_sizes: Optional[Dict[str, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create the global mesh. ``axis_sizes`` maps axis name -> size (-1 fills)."""
+    """Create the global mesh. ``axis_sizes`` maps axis name -> size (-1 fills).
+
+    Multi-host / multi-slice: when the devices span multiple slices (or host
+    processes), the layout comes from ``create_hybrid_device_mesh`` so the
+    slice boundary is crossed only by data-like axes (data, then pipeline) —
+    model-axis collectives (tensor/fsdp/expert/sequence) stay on intra-slice
+    ICI (reference's DDP-outside/MP-inside group split, distributed/utils.py
+    :376-491, recast as device layout instead of process groups)."""
     if devices is None:
         devices = jax.devices()
     sizes = resolve_axis_sizes(axis_sizes or {}, len(devices))
     shape = tuple(sizes[ax] for ax in AXIS_ORDER)
-    dev_array = np.asarray(devices).reshape(shape)
+    from .distributed import hybrid_device_array, num_granules
+
+    if num_granules(devices) > 1:
+        dev_array = hybrid_device_array(sizes, AXIS_ORDER, list(devices))
+    else:
+        dev_array = np.asarray(devices).reshape(shape)
     mesh = Mesh(dev_array, AXIS_ORDER)
     logger.info("mesh: %s", {ax: s for ax, s in zip(AXIS_ORDER, shape) if s > 1} or "single-device")
     set_current_mesh(mesh)
@@ -99,5 +111,14 @@ def batch_spec() -> P:
 
 
 def local_batch_multiple(mesh: Mesh) -> int:
-    """Global batch must be a multiple of this (data * fsdp axis sizes)."""
-    return int(np.prod([mesh.shape[a] for a in BATCH_AXES]))
+    """The PER-PROCESS batch must be a multiple of this.
+
+    Single-process: data * fsdp (the global batch divisibility).  Multi-host:
+    each process contributes 1/process_count of the global batch
+    (shard_batches slices the batch list; global_batch_from_local joins the
+    local shards), so the local requirement shrinks accordingly."""
+    g = int(np.prod([mesh.shape[a] for a in BATCH_AXES]))
+    p = jax.process_count()
+    if g % p == 0 and p > 1:
+        return max(1, g // p)
+    return g

@@ -132,8 +132,20 @@ class CheckpointManager:
         val_metrics: Optional[Dict[str, float]] = None,
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # multi-host: leaves may be sharded across processes and not
+            # addressable for a plain device_get — gather to every host,
+            # then only rank 0 writes (reference gates checkpoint writes on
+            # distributed rank).  Every rank runs the best/meta bookkeeping
+            # so patience decisions and subsequent restores agree.
+            from jax.experimental import multihost_utils
+
+            state = multihost_utils.process_allgather(state)
+        writer = not multiproc or jax.process_index() == 0
         tree = jax.tree.map(np.asarray, jax.device_get(state))
-        self._write(tree, "checkpoint_last")
+        if writer:
+            self._write(tree, "checkpoint_last")
         improved = False
         if val_metrics and self.best_metric in val_metrics:
             v = float(val_metrics[self.best_metric])
@@ -143,9 +155,10 @@ class CheckpointManager:
             )
             if better:
                 self.best_value = v
-                self._write(tree, "checkpoint_best")
+                if writer:
+                    self._write(tree, "checkpoint_best")
                 improved = True
-        if self.save_interval_updates and step % self.save_interval_updates == 0:
+        if self.save_interval_updates and step % self.save_interval_updates == 0 and writer:
             self._write(tree, f"checkpoint_{step}")
             self.wait()  # finalize before pruning so keep-N sees a consistent dir
             self._prune_interval()
@@ -155,8 +168,13 @@ class CheckpointManager:
             "best_metric": self.best_metric,
             **(extra or {}),
         }
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f)
+        if writer:
+            with open(self._meta_path, "w") as f:
+                json.dump(meta, f)
+        if multiproc:
+            # barrier: no rank resumes training (and possibly crashes /
+            # restarts) before the checkpoint files exist
+            multihost_utils.sync_global_devices("mmvc_checkpoint_save")
         logger.info(
             "saved checkpoint step=%d%s", step, " (new best)" if improved else ""
         )
@@ -267,21 +285,37 @@ def average_checkpoints(trees: List[Any]) -> Any:
 
 
 def load_ensemble(
-    manager: "CheckpointManager", template: Any, restore_file: str, mode: str = "logprob"
+    manager: "CheckpointManager", template: Any, restore_file: str, mode: str = "logprob",
+    strict: bool = True,
 ) -> Optional[List[Any]]:
     """Restore one or more checkpoints named in a comma-separated
     ``restore_file`` (reference: load_model_ensemble_and_task,
     checkpoint_utils.py:380).  mode="average" collapses members into a
     single parameter-averaged tree; "logprob" returns the list for
-    ensemble decoding."""
+    ensemble decoding.
+
+    The member list is explicit user input: with ``strict`` (default) a
+    missing member of a multi-member ensemble raises instead of silently
+    evaluating a smaller ensemble (a typo in one name would otherwise just be
+    a warning in the eval log).  A single missing name still returns None so
+    callers keep their no-checkpoint fallback."""
     names = [n.strip() for n in restore_file.split(",") if n.strip()]
     trees = []
+    missing = []
     for name in names:
         t = manager.restore(template, name)
         if t is None:
-            logger.warning("ensemble member %s not found — skipped", name)
+            missing.append(name)
+            logger.warning("ensemble member %s not found%s", name,
+                           "" if strict else " — skipped")
             continue
         trees.append(t)
+    if missing and strict and len(names) > 1:
+        raise FileNotFoundError(
+            f"ensemble member(s) not found: {', '.join(missing)} "
+            f"(requested: {restore_file}; pass strict=False / --non-strict-ensemble "
+            f"to decode with the remaining members)"
+        )
     if not trees:
         return None
     if mode == "average" and len(trees) > 1:
