@@ -104,6 +104,14 @@ class OptimizationConfig:
     # (reference: tri_stage_lr_scheduler.py phase_ratio); None keeps the
     # warmup_updates-based split with a 40% hold
     phase_ratio: Optional[Tuple[float, float, float]] = None
+    # reduce_lr_on_plateau scheduler (reference:
+    # optim/lr_scheduler/reduce_lr_on_plateau.py): shrink the LR by
+    # lr_shrink after lr_patience+1 validations without a relative
+    # improvement > lr_threshold; plateau_maximize follows
+    # checkpoint.maximize_best_checkpoint_metric (wired in cli/train.py)
+    lr_patience: int = 0
+    lr_threshold: float = 1e-4
+    plateau_maximize: bool = False
     # probability floor for skipping a step on non-finite grads
     skip_nonfinite_grads: bool = True
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import logging
 import re
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import flax.struct
 import jax
@@ -65,6 +65,93 @@ def trainable_mask(
         return not any(rx.search(p) for rx in regexes)
 
     return jax.tree_util.tree_map_with_path(decide, params)
+
+
+class PlateauState(NamedTuple):
+    """State of the reduce-on-plateau LR scale, kept INSIDE opt_state so it
+    checkpoints/restores with the optimizer (reference persists
+    {best, last_epoch} in its scheduler state_dict)."""
+
+    scale: jnp.ndarray  # f32 multiplier on the post-optimizer update
+    best: jnp.ndarray  # f32 best validation value seen
+    bad: jnp.ndarray  # i32 validations since last significant improvement
+
+
+def scale_by_plateau(maximize: bool = False) -> optax.GradientTransformation:
+    """Multiply updates by a host-controlled scale (see
+    ``plateau_update_state``).  The device side is a plain elementwise scale;
+    the plateau DECISION runs on host where the validation metric lives."""
+
+    def init(params):
+        del params
+        return PlateauState(
+            scale=jnp.ones((), jnp.float32),
+            best=jnp.asarray(-np.inf if maximize else np.inf, jnp.float32),
+            bad=jnp.zeros((), jnp.int32),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u: u * state.scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def plateau_update_state(opt_state, value: float, opt_cfg: "OptimizationConfig"):
+    """Host-side reduce-on-plateau step (torch ReduceLROnPlateau semantics,
+    threshold_mode='rel': improvement = value < best*(1-thr), or > best*(1+thr)
+    when maximizing; after more than lr_patience bad validations the scale
+    shrinks by lr_shrink).  Returns (new_opt_state, new_scale) — a no-op
+    (None, 1.0-ish) when no PlateauState is present."""
+    found = {}
+
+    def visit(leaf):
+        if isinstance(leaf, PlateauState):
+            found["s"] = leaf
+        return leaf
+
+    jax.tree.map(visit, opt_state, is_leaf=lambda x: isinstance(x, PlateauState))
+    if "s" not in found:
+        return None, None
+    st = found["s"]
+    scale = float(np.asarray(jax.device_get(st.scale)))
+    best = float(np.asarray(jax.device_get(st.best)))
+    bad = int(np.asarray(jax.device_get(st.bad)))
+    thr = float(opt_cfg.lr_threshold)
+    if opt_cfg.plateau_maximize:
+        improved = value > best * (1.0 + thr) if np.isfinite(best) else True
+        new_best = max(best, value) if np.isfinite(best) else value
+    else:
+        improved = value < best * (1.0 - thr) if np.isfinite(best) else True
+        new_best = min(best, value) if np.isfinite(best) else value
+    if improved:
+        bad = 0
+    else:
+        bad += 1
+    if bad > int(opt_cfg.lr_patience):
+        scale *= float(opt_cfg.lr_shrink)
+        bad = 0
+        logger.info("plateau: shrinking lr scale to %.3g", scale)
+
+    def make(x, old):
+        arr = jnp.asarray(x, old.dtype)
+        try:
+            return jax.device_put(arr, old.sharding)
+        except Exception:
+            return arr
+
+    new_st = PlateauState(
+        scale=make(scale, st.scale), best=make(new_best, st.best),
+        bad=make(bad, st.bad),
+    )
+
+    def replace(leaf):
+        return new_st if isinstance(leaf, PlateauState) else leaf
+
+    new_opt = jax.tree.map(
+        replace, opt_state, is_leaf=lambda x: isinstance(x, PlateauState)
+    )
+    return new_opt, scale
 
 
 def build_optimizer(
@@ -163,6 +250,19 @@ def build_optimizer(
 
     elif opt_cfg.lr_scheduler == "fixed":
         schedule = optax.constant_schedule(opt_cfg.lr)
+    elif opt_cfg.lr_scheduler == "reduce_lr_on_plateau":
+        # linear warmup to lr, then constant x a host-driven plateau scale
+        # (reference: optim/lr_scheduler/reduce_lr_on_plateau.py — torch
+        # ReduceLROnPlateau semantics; the scale lives in opt_state via
+        # scale_by_plateau so it checkpoints/resumes with the optimizer)
+        warm = max(opt_cfg.warmup_updates, 0)
+
+        def schedule(step):
+            if warm == 0:
+                return jnp.asarray(opt_cfg.lr, jnp.float32)
+            s = jnp.asarray(step, jnp.float32)
+            return opt_cfg.lr * jnp.minimum(s / warm, 1.0)
+
     else:
         raise ValueError(f"unknown lr_scheduler {opt_cfg.lr_scheduler}")
 
@@ -201,6 +301,14 @@ def build_optimizer(
     chain = [base]
     if opt_cfg.clip_norm and opt_cfg.clip_norm > 0:
         chain.insert(0, optax.clip_by_global_norm(opt_cfg.clip_norm))
+    if opt_cfg.lr_scheduler == "reduce_lr_on_plateau":
+        if opt_cfg.lr_shrink >= 1.0:
+            logger.warning(
+                "reduce_lr_on_plateau with lr_shrink=%.3g never reduces — "
+                "set optimization.lr_shrink (reference default: 0.1)",
+                opt_cfg.lr_shrink,
+            )
+        chain.append(scale_by_plateau(maximize=opt_cfg.plateau_maximize))
     tx = optax.chain(*chain)
 
     mask = trainable_mask(params, frozen_patterns)
@@ -359,6 +467,17 @@ class Trainer:
         self.state, metrics = self._train_step(self.state, batch)
         self.guard.bump(self._train_step)
         return metrics
+
+    def plateau_step(self, value: float) -> Optional[float]:
+        """Feed a validation metric to the reduce-on-plateau scheduler
+        (no-op unless lr_scheduler == reduce_lr_on_plateau).  Returns the
+        current LR scale."""
+        new_opt, scale = plateau_update_state(
+            self.state.opt_state, float(value), self.opt_cfg
+        )
+        if new_opt is not None:
+            self.state = self.state.replace(opt_state=new_opt)
+        return scale
 
     @property
     def step(self) -> int:

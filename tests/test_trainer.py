@@ -246,3 +246,83 @@ def test_triangular_and_manual_schedules():
         state2, p = step2(state2, p)
         lrs2.append(round(float(prev - p["w"][0]), 4))
     assert lrs2[0] == 0.5 and lrs2[6] == 0.25 and lrs2[11] == 0.125
+
+
+def test_load_ensemble_strict_on_missing_member(tmp_path):
+    """ADVICE r2 low: a typo'd member of a multi-member ensemble raises under
+    strict (default); a single missing name keeps the None fallback."""
+    import pytest
+    from multimodalvc_tpu.runtime.checkpoint import load_ensemble
+
+    tpl = {"params": {"w": jnp.zeros((2,))}, "collections": {}}
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(tpl, step=1)
+
+    # single missing name -> None (callers fall back to random init)
+    assert load_ensemble(mgr, tpl, "nope") is None
+    # partial ensemble -> raises under strict
+    with pytest.raises(FileNotFoundError):
+        load_ensemble(mgr, tpl, "checkpoint_last,nope")
+    # non-strict keeps the old skip-with-warning behavior
+    got = load_ensemble(mgr, tpl, "checkpoint_last,nope", strict=False)
+    assert got is not None and len(got) == 1
+
+
+def test_reduce_lr_on_plateau_matches_reference_semantics():
+    """torch ReduceLROnPlateau semantics (reference:
+    optim/lr_scheduler/reduce_lr_on_plateau.py): rel-threshold improvement
+    test, shrink by lr_shrink after lr_patience+1 bad validations, counter
+    resets after a shrink; the scale lives in opt_state (checkpointable)."""
+    import optax
+
+    from multimodalvc_tpu.runtime.trainer import (
+        build_optimizer, plateau_update_state,
+    )
+
+    cfg = OptimizationConfig(
+        lr=1.0, lr_scheduler="reduce_lr_on_plateau", warmup_updates=2,
+        lr_shrink=0.5, lr_patience=1, lr_threshold=1e-4, clip_norm=0.0,
+        optimizer="sgd", update_freq=1, skip_nonfinite_grads=False,
+    )
+    params = {"w": jnp.ones((3,))}
+    tx, _ = build_optimizer(cfg, params, [])
+    opt_state = tx.init(params)
+
+    # warmup: lr ramps linearly 0 -> lr over warmup_updates
+    g = {"w": jnp.ones((3,))}
+    up0, opt_state = tx.update(g, opt_state, params)
+    assert np.allclose(np.asarray(up0["w"]), 0.0)  # step 0: lr = 0
+    up1, opt_state = tx.update(g, opt_state, params)
+    assert np.allclose(np.asarray(up1["w"]), -0.5)  # step 1: lr = 0.5
+
+    def scale_of(st):
+        _, s = plateau_update_state(st, np.nan, cfg)  # probe only
+        return s
+
+    # val sequence: 1.0 (first -> best), 1.0 (bad 1), 1.0 (bad 2 > patience
+    # -> shrink), 0.5 (improvement -> reset), 0.5, 0.5 (-> shrink again)
+    seq = [1.0, 1.0, 1.0, 0.5, 0.5, 0.5]
+    scales = []
+    for v in seq:
+        opt_state, s = plateau_update_state(opt_state, v, cfg)
+        scales.append(s)
+    assert scales == [1.0, 1.0, 0.5, 0.5, 0.5, 0.25], scales
+
+    # post-warmup update applies lr * scale
+    up, opt_state = tx.update(g, opt_state, params)
+    assert np.allclose(np.asarray(up["w"]), -1.0 * 0.25)
+
+    # maximize mode flips the comparison
+    cfg_max = OptimizationConfig(
+        lr=1.0, lr_scheduler="reduce_lr_on_plateau", warmup_updates=0,
+        lr_shrink=0.5, lr_patience=0, lr_threshold=1e-4, clip_norm=0.0,
+        optimizer="sgd", skip_nonfinite_grads=False, plateau_maximize=True,
+    )
+    tx2, _ = build_optimizer(cfg_max, params, [])
+    st2 = tx2.init(params)
+    st2, s = plateau_update_state(st2, 0.8, cfg_max)   # first -> best
+    assert s == 1.0
+    st2, s = plateau_update_state(st2, 0.9, cfg_max)   # improved
+    assert s == 1.0
+    st2, s = plateau_update_state(st2, 0.85, cfg_max)  # worse, patience 0
+    assert s == 0.5
