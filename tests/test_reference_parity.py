@@ -7,11 +7,12 @@ import functions, and assert our flax modules produce the same activations
 on identical inputs.  This is the WER-parity evidence obtainable without the
 real checkpoints: it validates every import mapping end-to-end.
 
-Reference modules that require fairseq (omegaconf is not installed) are
-covered by the fairseq-free pieces here plus the hand-built-oracle tests in
-test_avhubert.py; the Whisper mel front end is checked against the exact
-transformers WhisperFeatureExtractor the reference calls via WhisperProcessor
-(src/dataset.py:185,310).
+Reference modules that require fairseq import through the tests-only
+omegaconf/hydra shim in tests/_vendored_fairseq.py (the vendored fairseq
+tree itself is on disk), so even the 24-layer AV-HuBERT trunk is parity
+tested against the real avhubert/hubert.py; the Whisper mel front end is
+checked against the exact transformers WhisperFeatureExtractor the
+reference calls via WhisperProcessor (src/dataset.py:185,310).
 """
 import sys
 
@@ -349,3 +350,141 @@ def test_whisper_mel_parity_vs_feature_extractor():
     ours = np.asarray(whisper_log_mel(pad_to_whisper_chunk(wav)))
     assert ours.shape == ref_feats.shape == (80, 3000)
     _close(ours, ref_feats, rtol=1e-4, atol=2e-4, what="whisper mel")
+
+
+# ---------------------------------------------------------------------------
+# AV-HuBERT trunk vs the ACTUAL vendored avhubert/hubert.py (via the
+# tests-only omegaconf/hydra shim in tests/_vendored_fairseq.py)
+# ---------------------------------------------------------------------------
+
+
+def _build_vendored_avhubert(seed=13):
+    """Tiny-but-real vendored AVHubertModel (full 512-d ResNet front end,
+    2-layer pre-LN transformer), randomized, in eval mode."""
+    from tests._vendored_fairseq import load_vendored_avhubert
+
+    hub = load_vendored_avhubert()
+    from avhubert.hubert_pretraining import AVHubertPretrainingConfig
+
+    cfg = hub.AVHubertConfig(
+        label_rate=25,
+        input_modality="video",
+        encoder_embed_dim=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        encoder_ffn_embed_dim=128,
+        audio_feat_dim=104,
+        layer_norm_first=True,  # the large recipe the product loads
+        encoder_layerdrop=0.0,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        dropout_input=0.0,
+        dropout_features=0.0,
+        masking_type="input",
+        modality_fuse="concat",
+    )
+    task_cfg = AVHubertPretrainingConfig(label_rate=25, sample_rate=25)
+    ref = hub.AVHubertModel(cfg, task_cfg, dictionaries=[None]).eval()
+    _randomize_(ref, seed=seed)
+    return ref, cfg
+
+
+@pytest.mark.slow
+def test_avhubert_trunk_parity_vs_vendored():
+    """extract_finetune activation parity: audio-only / video-only / AV
+    fusion, unmasked and with vendored-input-masked sources, with ragged
+    padding — against avhubert/hubert.py:694-744 through
+    import_torch_avhubert.  Validates fusion order (audio first,
+    hubert.py:713), pre-LN recipe, zero-filled missing modality, and
+    fairseq padding semantics end-to-end."""
+    import jax.numpy as jnp
+
+    from multimodalvc_tpu.nn.avhubert import (
+        AVHubertConfig as OurCfg,
+        AVHubertModel as OurModel,
+        import_torch_avhubert,
+    )
+
+    ref, cfg = _build_vendored_avhubert()
+
+    b, t, hw, feat = 2, 6, 24, 104
+    rng = np.random.default_rng(14)
+    video_btHWc = rng.standard_normal((b, t, hw, hw, 1)).astype(np.float32)
+    audio_btf = rng.standard_normal((b, t, feat)).astype(np.float32)
+    lengths = np.asarray([t, 4], np.int32)
+    # fairseq padding_mask: True = PAD
+    pad = torch.zeros(b, t, dtype=torch.bool)
+    for i in range(b):
+        pad[i, lengths[i]:] = True
+
+    # torch layouts: audio [B, F, T], video [B, C, T, H, W]
+    t_audio = torch.from_numpy(audio_btf.transpose(0, 2, 1))
+    t_video = torch.from_numpy(video_btHWc.transpose(0, 4, 1, 2, 3))
+
+    ours_cfg = OurCfg(
+        encoder_embed_dim=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        encoder_ffn_dim=128,
+        audio_feat_dim=feat,
+    )
+    variables = import_torch_avhubert(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, ours_cfg
+    )
+    model = OurModel(ours_cfg)
+
+    def ours(audio=None, video=None):
+        out = model.apply(
+            variables, audio=audio, video=video,
+            lengths=jnp.asarray(lengths), train=False,
+        )
+        return np.asarray(out)
+
+    cases = {
+        "av": dict(audio=t_audio, video=t_video),
+        "video_only": dict(audio=None, video=t_video),
+        "audio_only": dict(audio=t_audio, video=None),
+    }
+    for name, src in cases.items():
+        with torch.no_grad():
+            ref_x, _ = ref.extract_finetune(src, padding_mask=pad, mask=False)
+        got = ours(
+            audio=audio_btf if src["audio"] is not None else None,
+            video=video_btHWc if src["video"] is not None else None,
+        )
+        for i in range(b):
+            _close(
+                got[i, : lengths[i]],
+                ref_x.numpy()[i, : lengths[i]],
+                rtol=2e-4, atol=2e-4,
+                what=f"avhubert trunk [{name}] row {i}",
+            )
+
+    # masked-input distribution through the trunk: produce masked sources
+    # with the VENDORED apply_input_mask (seeded), then run both models on
+    # the identical masked arrays (the reference's fine-tune-time input
+    # masking, hubert.py:442-472; span randomness itself is torch-internal
+    # so both sides consume its output)
+    torch.manual_seed(15)
+    np.random.seed(15)
+    ref.mask_prob_image, ref.mask_length_image = 0.6, 2
+    ref.mask_prob_audio, ref.mask_length_audio = 0.6, 2
+    mv, _ = ref.apply_input_mask(t_video.clone(), pad, target_list=None)
+    ma, _ = ref.apply_input_mask(t_audio.clone(), pad, target_list=None)
+    mv, ma = mv.detach(), ma.detach()
+    with torch.no_grad():
+        ref_x, _ = ref.extract_finetune(
+            {"audio": ma, "video": mv}, padding_mask=pad, mask=False
+        )
+    got = ours(
+        audio=ma.numpy().transpose(0, 2, 1),
+        video=mv.numpy().transpose(0, 2, 3, 4, 1),
+    )
+    for i in range(b):
+        _close(
+            got[i, : lengths[i]],
+            ref_x.numpy()[i, : lengths[i]],
+            rtol=2e-4, atol=2e-4,
+            what=f"avhubert trunk [masked] row {i}",
+        )
