@@ -153,10 +153,14 @@ def map_resnet(state: Dict[str, np.ndarray], prefix: str):
     res_p: Dict[str, dict] = {}
     res_s: Dict[str, dict] = {}
     pre = prefix.rstrip(".")
-    # torch conv3d [O, I, kT, kH, kW] -> flax [kT, kH, kW, I, O]
+    # torch conv3d [O, I=1, kT, kH, kW] -> our tap-stacked conv2d kernel
+    # [kH, kW, kT, O] (nn/resnet.py runs the stride-1 time window as input
+    # channels; tap k carries the kT=k slice)
     res_p["frontend_conv"] = {
         "kernel": jnp.asarray(
-            np.asarray(state[f"{pre}.frontend3D.0.weight"]).transpose(2, 3, 4, 1, 0)
+            np.asarray(state[f"{pre}.frontend3D.0.weight"])
+            .transpose(3, 4, 2, 1, 0)
+            .reshape(7, 7, 5, -1)
         )
     }
     p, s = _bn(state, f"{pre}.frontend3D.1")

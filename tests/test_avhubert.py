@@ -111,7 +111,9 @@ def test_resnet_frontend_matches_torch(rng):
     params, stats = {}, {}
     pre = "feature_extractor_video.resnet"
     params["frontend_conv"] = {
-        "kernel": jnp.asarray(full[f"{pre}.frontend3D.0.weight"].transpose(2, 3, 4, 1, 0))
+        "kernel": jnp.asarray(
+            full[f"{pre}.frontend3D.0.weight"].transpose(3, 4, 2, 1, 0).reshape(7, 7, 5, -1)
+        )
     }
     p, s = avh._bn(full, f"{pre}.frontend3D.1")
     params["frontend_bn"], stats["frontend_bn"] = p, s
