@@ -57,7 +57,8 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
     # load_model_ensemble_and_task, checkpoint_utils.py:380); mode "average"
     # parameter-averages, "logprob" decodes with per-step averaged log-probs
     members = load_ensemble(
-        ckpt, template, cfg.checkpoint.restore_file, cfg.checkpoint.ensemble_mode
+        ckpt, template, cfg.checkpoint.restore_file, cfg.checkpoint.ensemble_mode,
+        strict=cfg.checkpoint.strict_ensemble,
     )
     if members is not None:
         trees = [{"params": m["params"], **m["collections"]} for m in members]

@@ -134,6 +134,9 @@ class CheckpointConfig:
     # log-prob-averaged ensemble decode (fairseq EnsembleModel), "average" =
     # parameter averaging (fairseq scripts/average_checkpoints.py)
     ensemble_mode: str = "logprob"
+    # with a multi-member restore_file, a missing member raises instead of
+    # silently decoding a smaller ensemble; set False to keep the remainder
+    strict_ensemble: bool = True
     # torch .pt checkpoint to import weights from (reference interop)
     init_from_pt: Optional[str] = None
     async_save: bool = True

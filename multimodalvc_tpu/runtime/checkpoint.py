@@ -313,7 +313,7 @@ def load_ensemble(
     if missing and strict and len(names) > 1:
         raise FileNotFoundError(
             f"ensemble member(s) not found: {', '.join(missing)} "
-            f"(requested: {restore_file}; pass strict=False / --non-strict-ensemble "
+            f"(requested: {restore_file}; pass strict=False / checkpoint.strict_ensemble=false "
             f"to decode with the remaining members)"
         )
     if not trees:
