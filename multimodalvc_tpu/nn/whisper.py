@@ -110,11 +110,25 @@ class WhisperEncoder(nn.Module):
         pos = jnp.asarray(sinusoidal_positions(cfg.max_frames, cfg.d_model))
         x = x + pos[None, :t].astype(x.dtype)
         out_lengths = None if lengths is None else (lengths + 1) // 2
+        # Pad the sequence ONCE to the flash kernel's block multiple: 1500 is
+        # not 8-divisible, so the Pallas kernel would otherwise pad+copy
+        # q/k/v in every layer (measured 21 ms of a 151 ms whisper-medium
+        # call at batch 8).  Padded rows are masked out of attention via
+        # lengths and sliced off at the end; LN/FFN on them is dead lanes.
+        t_pad = -(-t // 512) * 512 if t >= 512 else t
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+            out_lengths = (
+                jnp.full((x.shape[0],), t, jnp.int32)
+                if out_lengths is None
+                else out_lengths
+            )
         for i in range(cfg.num_layers):
             x = WhisperEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(
                 x, lengths=out_lengths, deterministic=deterministic
             )
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        return x[:, :t]
 
 
 # ---------------------------------------------------------------------------

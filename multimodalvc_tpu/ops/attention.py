@@ -155,16 +155,21 @@ def flash_attention(
     is cheap; the forward never materialises it).
 
     block_q/block_k default to a shape-based choice (v5e sweep, bench.py
-    history): long low-head-dim encoder sequences want big 512x512 blocks
-    (4.4x over 128x128 at Whisper's [8,16,1500,64]); short or 128-wide
-    sequences keep 128x128 (larger blocks lose to padding waste at LLaMA's
-    [8,24,210,128] prefill).
+    history): long low-head-dim encoder sequences want big 768x768 blocks
+    (1.73 ms vs 2.89 at 512x512 vs 12.2 at 128x128 for Whisper's
+    [8,16,1500,64], and 768 divides the 1536-padded length exactly); short
+    or 128-wide sequences keep 128x128 (larger blocks lose to padding waste
+    at LLaMA's [8,24,210,128] prefill).
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if block_q is None or block_k is None:
         if d <= 64 and tq >= 1024:
-            auto_q, auto_k = 512, 512
+            # prefer 768 unless it pads worse than 512 (768 wins at equal
+            # padding, e.g. 1500 -> 1536 either way; 512 wins at 1024/2048)
+            pad768 = -(-tq // 768) * 768
+            pad512 = -(-tq // 512) * 512
+            auto_q = auto_k = 768 if pad768 <= pad512 else 512
         elif d <= 64 and tq >= 384:
             auto_q, auto_k = 256, 256
         else:

@@ -68,3 +68,35 @@ def test_whisper_encoder_length_masking(rng):
     np.testing.assert_allclose(
         np.asarray(out_masked[1, :18]), np.asarray(out_masked2[1, :18]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_whisper_encoder_block_padding_equivalence(rng):
+    """The encoder pads T>=512 sequences once to the flash block multiple
+    (hoisted out of the per-layer kernel); valid rows must be unaffected.
+    Same valid content in a 600-frame container (padded to 1024 inside) and
+    a 512-frame container (no extra pad) -> identical valid-row outputs."""
+    import jax
+
+    cfg = WhisperEncoderConfig(
+        n_mels=8, d_model=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_frames=600,
+    )
+    model = WhisperEncoder(cfg)
+    mel_a = rng.standard_normal((2, 8, 1200)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), mel_a[:1])
+    lengths = jnp.asarray([1000, 700], jnp.int32)  # 500/350 valid out-frames
+
+    out_a = model.apply(variables, mel_a, lengths=lengths)  # t=600 -> pad 1024
+    cfg_b = WhisperEncoderConfig(
+        n_mels=8, d_model=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_frames=512,
+    )
+    out_b = WhisperEncoder(cfg_b).apply(
+        variables, mel_a[:, :, :1024], lengths=lengths
+    )  # t=512, 512-multiple: no extra pad
+    np.testing.assert_allclose(
+        np.asarray(out_a)[0, :500], np.asarray(out_b)[0, :500], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a)[1, :350], np.asarray(out_b)[1, :350], rtol=2e-5, atol=2e-5
+    )
