@@ -32,6 +32,10 @@ class E2EGanConfig:
     disc_lr: float = 2e-4
     betas: Tuple[float, float] = (0.8, 0.99)
     weight_decay: float = 1e-5
+    # discriminator stack size (see models/vocoder.py VocoderConfig)
+    disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    disc_scales: int = 3
+    disc_channels_cap: int = 1024
 
 
 class E2EGanState(flax.struct.PyTreeNode):
@@ -54,7 +58,10 @@ class E2EGanTrainer:
         frozen_mask: pytree of bools (True=train) for the generator side."""
         self.cfg = cfg
         self.model = model
-        self.discriminator = hg.HifiGanDiscriminator()
+        self.discriminator = hg.HifiGanDiscriminator(
+            periods=tuple(cfg.disc_periods), n_scales=cfg.disc_scales,
+            channels_cap=cfg.disc_channels_cap,
+        )
         self._gen_opt = optax.adamw(
             cfg.gen_lr, b1=cfg.betas[0], b2=cfg.betas[1], weight_decay=cfg.weight_decay
         )
@@ -182,6 +189,14 @@ class E2EGanTrainer:
             rng=rng,
         )
         return new_state, {"loss_gen": g_loss, "loss_disc": d_loss, **aux}
+
+    def synthesize(self, state: E2EGanState, batch) -> jnp.ndarray:
+        """Inference waveform for one batch (TB audio logging; reference logs
+        generated audio during vocoder/E2E training)."""
+        out = self.model.apply(
+            {"params": state.gen_params, **state.collections}, batch, train=False
+        )
+        return out["waveform"]
 
     def valid_step(self, state: E2EGanState, batch) -> Dict[str, jnp.ndarray]:
         out = self.model.apply(

@@ -39,6 +39,11 @@ class VocoderConfig:
     ema_decay: float = 0.999
     segment_length: int = 8320
     sample_rate: int = 16000
+    # discriminator stack size (reference: MPD periods 2,3,5,7,11 + 3-scale
+    # MSD at widths up to 1024); smaller values build a test-size stack
+    disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    disc_scales: int = 3
+    disc_channels_cap: int = 1024
 
 
 class GanTrainState(flax.struct.PyTreeNode):
@@ -58,7 +63,10 @@ class VocoderModel:
     def __init__(self, cfg: VocoderConfig):
         self.cfg = cfg
         self.generator = hg.HifiGanGenerator(cfg.generator)
-        self.discriminator = hg.HifiGanDiscriminator()
+        self.discriminator = hg.HifiGanDiscriminator(
+            periods=tuple(cfg.disc_periods), n_scales=cfg.disc_scales,
+            channels_cap=cfg.disc_channels_cap,
+        )
         schedule = optax.exponential_decay(
             cfg.lr,
             transition_steps=cfg.steps_per_epoch,

@@ -126,6 +126,7 @@ class PeriodDiscriminator(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels_cap: int = 1024  # test-size cap; 1024 = reference widths
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,7 +140,7 @@ class PeriodDiscriminator(nn.Module):
         # [B, T/p, p, C] — height = time/period, width = period (torch view)
         x = x.reshape(b, t // self.period, self.period, c)
         feats = []
-        chans = (32, 128, 512, 1024)
+        chans = tuple(min(c, self.channels_cap) for c in (32, 128, 512, 1024))
         pad = _get_padding(5, 1)
         for i, ch in enumerate(chans):
             x = WNConv2d(
@@ -152,7 +153,10 @@ class PeriodDiscriminator(nn.Module):
             )(x)
             x = leaky_relu(x)
             feats.append(x)
-        x = WNConv2d(1024, (self.kernel_size, 1), padding=(2, 0), dtype=self.dtype, name="convs_4")(x)
+        x = WNConv2d(
+            min(1024, self.channels_cap), (self.kernel_size, 1), padding=(2, 0),
+            dtype=self.dtype, name="convs_4",
+        )(x)
         x = leaky_relu(x)
         feats.append(x)
         x = WNConv2d(1, (3, 1), padding=(1, 0), dtype=self.dtype, name="conv_post")(x)
@@ -162,6 +166,7 @@ class PeriodDiscriminator(nn.Module):
 
 class ScaleDiscriminator(nn.Module):
     use_spectral_norm: bool = False
+    channels_cap: int = 1024  # test-size cap; 1024 = reference widths
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,6 +180,12 @@ class ScaleDiscriminator(nn.Module):
             dict(features=1024, kernel_size=41, stride=4, padding=20, groups=16),
             dict(features=1024, kernel_size=41, stride=1, padding=20, groups=16),
             dict(features=1024, kernel_size=5, stride=1, padding=2, groups=1),
+        ]
+        cap = self.channels_cap
+        specs = [
+            {**sp, "features": min(sp["features"], cap),
+             "groups": min(sp["groups"], min(sp["features"], cap))}
+            for sp in specs
         ]
         feats = []
         for i, s in enumerate(specs):
@@ -197,21 +208,26 @@ class HifiGanDiscriminator(nn.Module):
     """MPD (periods 2,3,5,7,11) + MSD (3 scales, avg-pooled)."""
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    n_scales: int = 3
+    channels_cap: int = 1024  # reference widths; lower = test-size stack
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_sn: bool = False):
         scores, feats = [], []
         for i, p in enumerate(self.periods):
-            s, f = PeriodDiscriminator(p, dtype=self.dtype, name=f"mpd_{i}")(x)
+            s, f = PeriodDiscriminator(
+                p, channels_cap=self.channels_cap, dtype=self.dtype, name=f"mpd_{i}"
+            )(x)
             scores.append(s)
             feats.append(f)
         h = x
-        for i in range(3):
+        for i in range(self.n_scales):
             if i != 0:
                 h = avg_pool_1d(h, 4, 2, 2)
             s, f = ScaleDiscriminator(
-                use_spectral_norm=(i == 0), dtype=self.dtype, name=f"msd_{i}"
+                use_spectral_norm=(i == 0), channels_cap=self.channels_cap,
+                dtype=self.dtype, name=f"msd_{i}"
             )(h, update_sn=update_sn)
             scores.append(s)
             feats.append(f)

@@ -330,6 +330,10 @@ class E2EGanTaskConfig(SpeechTaskConfig):
     disc_lr: float = 2e-4
     vocoder_initial_channels: int = 512
     vocoder_resblock_kernels: tuple = (3, 7, 11)
+    # discriminator stack size (criterions/gan.py E2EGanConfig)
+    disc_periods: tuple = (2, 3, 5, 7, 11)
+    disc_scales: int = 3
+    disc_channels_cap: int = 1024
 
 
 @register_task("e2e_gan_training", config=E2EGanTaskConfig)
@@ -354,7 +358,11 @@ class E2EGanTask:
             resblock_dilations=((1, 3, 5),) * nk,
         )
         self.model = SpeechE2EModel(self.model_cfg, voc)
-        self._gan_cfg = E2EGanConfig(gen_lr=cfg.gen_lr, disc_lr=cfg.disc_lr)
+        self._gan_cfg = E2EGanConfig(
+            gen_lr=cfg.gen_lr, disc_lr=cfg.disc_lr,
+            disc_periods=tuple(cfg.disc_periods), disc_scales=cfg.disc_scales,
+            disc_channels_cap=cfg.disc_channels_cap,
+        )
         self._trainer_cls = E2EGanTrainer
         self._mode_rng = np.random.default_rng(7)
 

@@ -50,6 +50,9 @@ def pytest_addoption(parser):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test (>30 s)")
+    config.addinivalue_line(
+        "markers", "smoke: fast end-to-end pass that runs even in fast mode"
+    )
 
 
 def pytest_collection_modifyitems(config, items):
@@ -57,5 +60,5 @@ def pytest_collection_modifyitems(config, items):
         return
     skip = pytest.mark.skip(reason="slow: run with --runslow or RUN_SLOW=1")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords and "smoke" not in item.keywords:
             item.add_marker(skip)
