@@ -7,7 +7,12 @@ same rendezvous inference the reference's env:// path used
 a 2-process x 4-CPU-device global mesh and prints one JSON result line.
 """
 import json
+import os
 import sys
+
+# spawned as `python tests/distributed_worker.py`: sys.path[0] is tests/, so
+# the repo root (the package's parent) must be added explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
