@@ -71,8 +71,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     # throughput sweet spot on a 16 GB v5e: decode weight streaming amortises
-    # over the batch (RTF 148.6 at batch 8 -> 159.3 at 24; 32 OOMs)
-    parser.add_argument("--batch", type=int, default=24)
+    # over the batch (RTF 178.0 at batch 8 -> 185.6 at 32; 32 fits since the
+    # serving embed table dropped to bf16)
+    parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--seconds", type=float, default=16.0, help="utterance length")
     parser.add_argument("--beams", type=int, default=5)
     parser.add_argument("--new-tokens", type=int, default=64)

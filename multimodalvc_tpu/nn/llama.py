@@ -937,12 +937,16 @@ def quantize_llama_params(params: Dict[str, Any], mode: str = "int8") -> Dict[st
         return {"w_q": w_q, "w_scale": scale}
 
     out: Dict[str, Any] = {}
-    # tied-lm-head copy: quantized embed^T for the unembed matmul (the float
-    # table is kept for the input gather)
-    out["unembed_q"] = q(
-        {"kernel": jnp.asarray(params["embed_tokens"]["embedding"]).T}
-    )
+    # tied-lm-head copy: quantized embed^T for the unembed matmul.  The table
+    # kept for the input gather drops to bf16: embed() casts the gathered rows
+    # to the (bf16) compute dtype anyway, so a bf16 table is bit-identical on
+    # the serving path and halves the table's 1.6 GB fp32 HBM footprint.
+    emb_f = jnp.asarray(params["embed_tokens"]["embedding"])
+    out["unembed_q"] = q({"kernel": emb_f.T})
     for k, v in params.items():
+        if k == "embed_tokens":
+            out[k] = {**v, "embedding": emb_f.astype(jnp.bfloat16)}
+            continue
         if not k.startswith("layers_"):
             out[k] = v
             continue
