@@ -61,9 +61,15 @@ class LlamaConfig:
     # rematerialise each decoder layer's activations in backward (HBM for
     # FLOPs; reference analog: modules/checkpoint_activations.py)
     remat: bool = False
-    # Pallas flash kernel for the prefill/training self-attention
-    # (None = auto: on TPU for prompts >= 128 slots; True forces it, e.g.
-    # for interpreter-mode tests; False pins the XLA einsum path)
+    # Pallas flash kernel for the prefill/training self-attention.
+    # None = auto, which currently resolves to the XLA einsum path at every
+    # measured shape: a v5e A/B sweep of the full trunk forward (bf16, GQA
+    # 24/8, hd=128) put flash at 1.06-1.26x SLOWER than XLA attention across
+    # (b=1,t=130), (8,130), (32,130), (8,512), (1,1024) — XLA's fused
+    # attention keeps the short-prompt score tiles in VMEM already, and the
+    # kernel pays a GQA KV repeat.  True forces the Pallas kernel (it remains
+    # the win for the long-sequence encoders, ops/attention.py); False pins
+    # XLA.  bench.py records the 500-slot A/B every run as a regression tripwire.
     use_flash_prefill: Optional[bool] = None
     # weight-only serving quantization: None (bf16), "int8" (per-channel
     # scales), or "int4" (group-128 scales, nibble-packed) — dense kernels
@@ -216,7 +222,10 @@ class LlamaAttention(nn.Module):
         """
         enabled = self.cfg.use_flash_prefill
         if enabled is None:
-            enabled = jax.default_backend() == "tpu" and t >= 128
+            # measured on v5e: XLA fused attention beats the Pallas kernel at
+            # every serving/training prompt shape (see LlamaConfig note), so
+            # auto means XLA until a shape class proves otherwise
+            enabled = False
         return bool(enabled) and t == tkv and t > 1 and head_dim % 64 == 0
 
     def _flash_self(self, q, k, v, attn_mask, rep: int):
