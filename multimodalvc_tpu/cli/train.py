@@ -217,6 +217,14 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         jax.profiler.start_trace(cfg.common.profile_dir)
 
     def run_validation() -> Dict[str, float]:
+        if cfg.dataset.disable_validation:
+            # reference: dataset.disable_validation skips validate() and
+            # checkpoints track training metrics (fairseq_cli/train.py:387)
+            stats = agg.snapshot()
+            if "loss" not in stats:  # aggregator was just reset at a log tick
+                stats = dict(last_train_stats) or stats
+            log_stats(stats, trainer.step, "train(valid-off)", cfg.common.log_format)
+            return stats
         val_agg = MetricsAggregator()
         v_batches = valid_ds.batches(
             max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size
@@ -306,6 +314,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         )
         return ckpt.best_value != prev_best
 
+    last_train_stats: Dict[str, float] = {}  # latest logged train snapshot
     resume_offset = int(ckpt.meta.get("batch_offset", 0)) if restored is not None else 0
     while not stop:
         if resume_offset == 0:
@@ -343,6 +352,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
             step = trainer.step
             if step % cfg.common.log_interval == 0:
                 stats = agg.snapshot()
+                last_train_stats.update(stats)
                 log_stats(stats, step, "train", cfg.common.log_format)
                 tb.scalars(stats, step, "train")
                 agg.reset()

@@ -68,6 +68,9 @@ class DatasetConfig:
     required_batch_size_multiple: int = 8
     skip_invalid_size_inputs_valid_test: bool = True
     validate_interval: int = 1
+    # skip validation entirely (reference: dataclass/configs.py:482
+    # dataset.disable_validation); checkpoints then track train loss
+    disable_validation: bool = False
     # beam-decode this many validation batches per validation pass and report
     # corpus WER (reference: src/criterion.py:100-134 decodes at every valid
     # step).  -1 = all batches, 0 = off.  Enables

@@ -145,6 +145,22 @@ def test_cli_train_resume(corpus, tmp_path):
     assert CheckpointManager(save_dir).meta["step"] == 4
 
 
+def test_cli_disable_validation(corpus, tmp_path):
+    """dataset.disable_validation skips validate(); checkpoints + the returned
+    metrics then track the training snapshot (reference:
+    fairseq/dataclass/configs.py:482, fairseq_cli/train.py:387)."""
+    root, noise = corpus
+    save_dir = str(tmp_path / "ckpt_novalid")
+    cfg = _cfg(root, noise, save_dir)
+    cfg.optimization.max_update = 2
+    cfg.dataset.disable_validation = True
+    cfg.checkpoint.best_checkpoint_metric = "loss"  # wer needs validation
+    val = train_main(cfg)
+    assert "loss" in val and np.isfinite(val["loss"])
+    assert "wer" not in val  # no beam decode ran
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
+
+
 def test_cli_synthesize(tmp_path):
     """quickInference analog: AV clip -> NoLLM mel head -> vocoder -> wav."""
     import subprocess

@@ -1,4 +1,5 @@
 """Lightweight/dynamic conv vs a naive per-position loop reference."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +68,7 @@ def test_jit_and_grad():
     assert np.isfinite(float(f(x, w))) and np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_conformer_conv_type_variants(rng):
     """lightconv/dynamicconv as product Conformer conv-module variants
     (fairseq ships them as CUDA model-zoo kernels; here they are config

@@ -91,6 +91,7 @@ def test_quantize_int4_roundtrip_error(rng):
     assert rel < 0.08, rel
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_llama_int8_decode_close_to_float(rng):
     """int8 weight-only LLaMA: logits close to float; cached decode runs."""
     import dataclasses

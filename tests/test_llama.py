@@ -154,6 +154,7 @@ def test_lm_loss_matches_hf(tiny_pair, rng):
     assert int(n_valid) == 12
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_remat_grads_match(rng):
     """cfg.remat=True recomputes activations without changing gradients."""
     import jax

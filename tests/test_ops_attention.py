@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -130,6 +131,7 @@ def test_flash_grad_matches_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_llama_train_forward_differentiable(rng):
     """Regression for ADVICE r2 high: the training forward (cache=None) with
     T>=128 and flash explicitly enabled must be differentiable."""

@@ -65,6 +65,7 @@ def test_detect_landmarks_gated():
         detect_landmarks(np.zeros((1, 8, 8), np.float32))
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_align_mouth_cli(tmp_path):
     frames, lms = _face_clip()
     stack = np.stack(lms)

@@ -70,6 +70,7 @@ def test_speech_llm_forward(rng):
     assert np.isfinite(np.asarray(out["melspec"])).all()
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_speech_nollm_forward_and_modality_dropout(rng):
     cfg = SpeechConfig.tiny()
     cfg.modality_dropout = True

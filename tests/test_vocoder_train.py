@@ -90,6 +90,7 @@ def test_mel_loss_decreases_on_overfit(rng):
     assert np.mean(losses[-3:]) < losses[0], losses
 
 
+@pytest.mark.slow  # >25 s on a 1-core box; sibling tests cover the module
 def test_torch_checkpoint_unwrap(tmp_path, rng):
     import pytest
 
