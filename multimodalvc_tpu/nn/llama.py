@@ -288,6 +288,11 @@ class LlamaAttention(nn.Module):
             # while generated KV is per-beam ([B*K, ...]) — beam decode never
             # re-reads K copies of identical prompt keys, and beam reorder
             # only gathers the small generated segment.
+            # NEGATIVE RESULT (r3, v5e): storing the generated segment
+            # slot-major ([L, B*K, hkv, d], so the per-step write lands on
+            # whole tiles) measured NEUTRAL end-to-end — the XLA while-loop
+            # already keeps this layout's update in place; don't re-attempt
+            # without a profile showing the dus/copy cost has grown.
             idx = cache["index"]
             ck = jax.lax.dynamic_update_slice(
                 cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0)

@@ -191,7 +191,12 @@ def beam_search(
 
         cand = state.live_scores[:, :, None] + logp  # [B, K, V]
         flat_cand = cand.reshape(b, k * vocab)
-        # 2K candidates so EOS picks never starve the live set (HF-style)
+        # 2K candidates so EOS picks never starve the live set (HF-style).
+        # NEGATIVE RESULT (r3, v5e): a two-stage block top-k (per-2048-block
+        # top_k, then re-reduce the block winners) measured ~5.7 ms/step
+        # SLOWER than this single lax.top_k at [32, 641280] — XLA's native
+        # TopK is already near-roofline here; the block reshape/pad pass
+        # re-reads the whole row.  Don't re-attempt without profiling first.
         top2k_scores, top2k_idx = jax.lax.top_k(flat_cand, 2 * k)
         cand_beam = top2k_idx // vocab  # [B, 2K]
         cand_token = top2k_idx % vocab
