@@ -343,7 +343,10 @@ class AVSRSystem:
         return list(self.FROZEN_PATTERNS)
 
     def init(self, rng, batch):
-        return self.module.init(rng, batch)
+        # jit the init: eager flax init interprets the whole forward op-by-op
+        # (profiled at 31 s/call on the CLI smoke test even for tiny configs);
+        # one compiled — and persistently cached — program runs in ~1 s
+        return jax.jit(self.module.init)(rng, batch)
 
     def loss_fn(self, variables, batch, train=False, rngs=None):
         return self.module.apply(variables, batch, train=train, rngs=rngs)

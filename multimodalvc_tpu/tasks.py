@@ -240,7 +240,10 @@ class SpeechTask:
         return out
 
     def init_variables(self, rng, sample_batch):
-        return self.module.init(rng, self.prepare_batch(sample_batch), train=True)
+        # jitted for the same reason as AVSRSystem.init: eager flax init
+        # interprets the forward op-by-op and dominates CLI startup
+        init = jax.jit(lambda r, b: self.module.init(r, b, train=True))
+        return init(rng, self.prepare_batch(sample_batch))
 
     def frozen_patterns(self):
         pats = [r"encoder/whisper/", r"encoder/avhubert/", r"encoder/sr_predictor/"]
@@ -469,13 +472,19 @@ class AVHubertPretrainTask:
         return []
 
     def init_variables(self, rng, sample_batch):
-        return self.module.init(
+        # jitted: see AVSRSystem.init
+        def _init(rngs, audio, video, targets, lengths):
+            return self.module.init(
+                rngs, audio=audio, video=video, targets=targets,
+                lengths=lengths, train=True,
+            )
+
+        return jax.jit(_init)(
             {"params": rng, "mask": rng},
-            audio=sample_batch["audio"],
-            video=sample_batch["video"],
-            targets=sample_batch["targets"],
-            lengths=sample_batch["lengths"],
-            train=True,
+            sample_batch["audio"],
+            sample_batch["video"],
+            sample_batch["targets"],
+            sample_batch["lengths"],
         )
 
     def make_loss_fn(self):

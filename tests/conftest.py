@@ -24,7 +24,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 # programs within one run — e.g. train-then-resume CLI tests) skip XLA
 # compilation, which dominates wall clock for the tiny-model tests.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402

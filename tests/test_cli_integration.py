@@ -364,7 +364,12 @@ def test_cli_smoke(corpus, tmp_path):
     save_dir = str(tmp_path / "ckpt")
     cfg = _cfg(root, noise, save_dir)
     cfg.optimization.max_update = 2
-    cfg.dataset.valid_wer_batches = 0  # skip beam decode in validation
+    # validation loss/WER paths are covered by the slow CLI tests; the smoke
+    # trains with validation off (itself a real config path,
+    # fairseq_cli/train.py:387) and exercises decode+WER via eval_main below
+    cfg.dataset.disable_validation = True
+    cfg.dataset.valid_wer_batches = 0
+    cfg.checkpoint.best_checkpoint_metric = "loss"
     cfg.generation.beam = 1  # greedy
     cfg.generation.max_len = 4
     val = train_main(cfg)
