@@ -77,20 +77,22 @@ def _flash_kernel(
     kb = pl.program_id(3)
     n_kb = pl.num_programs(3)
     qb = pl.program_id(2)
+    single_kb = pl.num_programs(3) == 1  # static: grid is Python-known
 
-    @pl.when(kb == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    if not single_kb:
+        @pl.when(kb == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_len = kv_len_ref[pl.program_id(0)]
     kv_start = kv_start_ref[pl.program_id(0)]
     k_start = kb * block_k
 
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -102,25 +104,49 @@ def _flash_kernel(
             valid = jnp.logical_and(valid, col <= row)
         s = jnp.where(valid, s, NEG_INF)
 
-        m_prev = m_scr[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        if single_kb:
+            # one kv block: no running state to merge.  The cross-block
+            # rescale is not just extra VPU work — reading m/l/acc scratch
+            # written by the previous kv iteration serializes the grid
+            # pipeline (measured 12.6 -> 6.9 ms on [32,16,1536,64] at
+            # block_k=512 when the dependency is removed), so the block
+            # chooser below prefers a single kv block whenever it fits VMEM.
+            # Fully-masked rows (m_cur == NEG_INF) zero p so they emit exact
+            # zeros from _finish (multi-block gets this from the skipped-init
+            # path instead).
+            any_valid = m_cur > (0.5 * NEG_INF)
+            p = jnp.where(any_valid, jnp.exp(s - m_cur), 0.0)
+            l_new = jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[...] = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        else:
+            m_prev = m_scr[:, :1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    # skip key blocks entirely left of the pad window; for causal also skip
-    # blocks fully above the diagonal
-    live = k_start + block_k > kv_start
-    if causal:
-        live = jnp.logical_and(live, k_start <= (qb + 1) * block_q - 1)
-    pl.when(live)(_body)
+    if single_kb:
+        # the single block always runs (the skip could only fire for a fully
+        # padded row, which the any_valid guard in _body already zeroes)
+        _body()
+    else:
+        # skip key blocks entirely left of the pad window; for causal also
+        # skip blocks fully above the diagonal
+        live = k_start + block_k > kv_start
+        if causal:
+            live = jnp.logical_and(live, k_start <= (qb + 1) * block_q - 1)
+        pl.when(live)(_body)
 
     @pl.when(kb == n_kb - 1)
     def _finish():
@@ -164,7 +190,17 @@ def flash_attention(
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if block_q is None or block_k is None:
-        if d <= 64 and tq >= 1024:
+        tk_p = -(-tk // 128) * 128
+        if d <= 64 and tq >= 384 and tk_p <= 1536:
+            # SINGLE kv block: the whole key range in one block drops the
+            # cross-block online-softmax rescale, whose scratch read-after-
+            # write serializes the grid pipeline (v5e, batch 32: Whisper
+            # [32,16,1536,64] 8.68 -> 6.52 ms, AV-HuBERT [32,16,512,64]
+            # 4.15 -> 2.09 ms).  VMEM at the 768x1536 worst case is ~8.6 MB
+            # of the ~16 MB budget.
+            auto_k = tk_p
+            auto_q = min(768, -(-tq // 128) * 128)
+        elif d <= 64 and tq >= 1024:
             # prefer 768 unless it pads worse than 512 (768 wins at equal
             # padding, e.g. 1500 -> 1536 either way; 512 wins at 1024/2048)
             pad768 = -(-tq // 768) * 768
