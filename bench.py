@@ -67,6 +67,90 @@ def build_llama_params_bf16(cfg, rng_seed=0):
     return params
 
 
+def _train_bench(args, cfg, system, variables, batch, rng):
+    """Benchmark the real product train step (runtime/trainer.py Trainer:
+    fwd+bwd+masked AdamW, frozen encoders/LLM exactly like the reference
+    recipe — only Q-Former/projectors/LoRA train).  Reports training
+    realtime factor per chip (dataset-seconds consumed per wall-second)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalvc_tpu.config.configs import OptimizationConfig
+    from multimodalvc_tpu.runtime.trainer import Trainer
+
+    tb = args.train_batch if not args.tiny else args.batch
+    tbatch = {k: v[:tb] for k, v in batch.items()}
+    lab = 24 if not args.tiny else 4
+    tbatch["labels"] = jnp.asarray(
+        rng.integers(1, min(cfg.llama.vocab_size - 8, 20000), (tb, lab))
+    )
+    tbatch["label_lengths"] = jnp.full((tb,), lab, jnp.int32)
+
+    params = variables["params"]
+    colls = {k: v for k, v in variables.items() if k != "params"}
+    opt_cfg = OptimizationConfig(lr=1e-4, warmup_updates=10, max_update=2000)
+    trainer = Trainer(
+        system.make_trainer_loss_fn(),
+        params,
+        colls,
+        opt_cfg,
+        frozen_patterns=system.frozen_patterns(),
+    )
+
+    def sync(x):
+        return np.asarray(jax.device_get(x))
+
+    t0 = time.perf_counter()
+    m = trainer.train_step(tbatch)
+    first_loss = float(sync(m["loss"]))
+    compile_s = time.perf_counter() - t0
+
+    perturb = jax.jit(
+        lambda bt, eps: {
+            **bt,
+            "video": bt["video"] + eps,
+            "audio_feats": bt["audio_feats"] + eps,
+        }
+    )
+    times = []
+    for r in range(args.repeats):
+        b2 = perturb(tbatch, jnp.float32(1e-3 * (r + 1)))
+        sync(jnp.sum(b2["video"][0, 0, :2, :2]))
+        t0 = time.perf_counter()
+        m = trainer.train_step(b2)
+        sync(m["loss"])
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    utt_s = cfg.max_video_frames / 25.0
+    rtf = tb * utt_s / wall
+    print(
+        json.dumps(
+            {
+                "metric": "avsr_train_realtime_factor",
+                "value": round(rtf, 3),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "step_s": round(wall, 4),
+                    "batch": tb,
+                    "utt_seconds": utt_s,
+                    "label_tokens": lab,
+                    "compile_s": round(compile_s, 1),
+                    "loss0": round(first_loss, 4),
+                    "backend": jax.default_backend(),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
@@ -98,6 +182,13 @@ def main():
         "--breakdown", action="store_true",
         help="also time encoders+prompt-assembly and prefill+decode separately",
     )
+    parser.add_argument(
+        "--train", action="store_true",
+        help="benchmark the TRAINING step (fwd+bwd+AdamW on the trainable "
+        "subset, frozen encoders/LLM like the reference recipe) instead of "
+        "inference; reports train realtime factor per chip",
+    )
+    parser.add_argument("--train-batch", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -168,11 +259,21 @@ def main():
             short["video_lengths"],
         )
         # frozen encoders serve in bf16 (the reference fp16-casts at eval,
-        # src/eval.py); halves their HBM footprint
-        enc_params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            enc_vars["params"],
-        )
+        # src/eval.py); halves their HBM footprint.  Train mode keeps the
+        # TRAINABLE subtrees (Q-Former, projectors, SR-conditioned heads) in
+        # f32 masters — only the frozen encoders drop to bf16.
+        frozen_roots = ("whisper", "avhubert", "sr_predictor")
+
+        def _cast(path, x):
+            if x.dtype != jnp.float32:
+                return x
+            if args.train and not any(
+                getattr(p, "key", None) in frozen_roots for p in path
+            ):
+                return x
+            return x.astype(jnp.bfloat16)
+
+        enc_params = jax.tree_util.tree_map_with_path(_cast, enc_vars["params"])
         variables = {
             "params": {
                 "encoder": enc_params,
@@ -184,6 +285,10 @@ def main():
                 variables[col] = {"encoder": tree}
         # free the fp32 encoder init (~2.8 GB) — only the bf16 copy serves
         del enc_vars, enc_params
+
+    if args.train:
+        _train_bench(args, cfg, system, variables, batch, rng)
+        return
 
     if args.int4:
         args.quant = "int4"

@@ -401,6 +401,7 @@ class Trainer:
         self.opt_cfg = opt_cfg
         self.mesh = mesh
         self.tx, self.mask = build_optimizer(opt_cfg, params, frozen_patterns or [])
+        self._any_frozen = not all(jax.tree.leaves(self.mask))
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -445,6 +446,18 @@ class Trainer:
         rng, step_rng = jax.random.split(state.rng)
 
         def lf(p):
+            # stop_gradient on frozen leaves: the optimizer mask alone only
+            # zeroes the UPDATE — the backward still computes dW for every
+            # frozen matmul (the LLaMA trunk is ~98% of params).  Cutting the
+            # weight-grad here lets XLA DCE those matmuls, and matches the
+            # reference where frozen params have requires_grad=False so
+            # grad-norm/clipping only ever see trainable grads.
+            if self._any_frozen:
+                p = jax.tree.map(
+                    lambda x, m: x if m else jax.lax.stop_gradient(x),
+                    p,
+                    self.mask,
+                )
             return self.loss_fn(p, state.collections, batch, step_rng)
 
         (loss, (metrics, new_colls)), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
