@@ -18,6 +18,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
+# share the suite's persistent compile cache (conftest.py) — the spawned
+# workers otherwise recompile the sharded train step on every suite run
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from multimodalvc_tpu.parallel.distributed import (  # noqa: E402
     distributed_init,

@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 transformers = pytest.importorskip("transformers")
@@ -44,7 +45,7 @@ def test_whisper_encoder_matches_hf(rng):
     mel = rng.standard_normal((2, 80, 200)).astype(np.float32)
     with torch.no_grad():
         ref = hf(torch.from_numpy(mel)).last_hidden_state.numpy()
-    out = WhisperEncoder(cfg).apply(variables, jnp.asarray(mel))
+    out = jax.jit(WhisperEncoder(cfg).apply)(variables, jnp.asarray(mel))
     assert out.shape == ref.shape == (2, 100, 384)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=5e-4)
 
@@ -59,10 +60,11 @@ def test_whisper_encoder_length_masking(rng):
     enc = WhisperEncoder(cfg)
     vs = enc.init(jax.random.PRNGKey(0), mel)
     lengths = jnp.asarray([100, 40])
-    out_masked = enc.apply(vs, mel, lengths=lengths)
+    apply = jax.jit(enc.apply)
+    out_masked = apply(vs, mel, lengths=lengths)
     # changing PADDED region of sample 1 must not change its valid outputs
     mel2 = mel.at[1, :, 60:].set(99.0)
-    out_masked2 = enc.apply(vs, mel2, lengths=lengths)
+    out_masked2 = apply(vs, mel2, lengths=lengths)
     # valid frames: conv stride 2 -> first 20 frames valid for sample 1;
     # conv kernel 3 lets frame 19 peek one step past 40, allow margin
     np.testing.assert_allclose(
@@ -86,12 +88,12 @@ def test_whisper_encoder_block_padding_equivalence(rng):
     variables = model.init(jax.random.PRNGKey(0), mel_a[:1])
     lengths = jnp.asarray([1000, 700], jnp.int32)  # 500/350 valid out-frames
 
-    out_a = model.apply(variables, mel_a, lengths=lengths)  # t=600 -> pad 1024
+    out_a = jax.jit(model.apply)(variables, mel_a, lengths=lengths)  # t=600 -> pad 1024
     cfg_b = WhisperEncoderConfig(
         n_mels=8, d_model=32, num_layers=2, num_heads=4, ffn_dim=64,
         max_frames=512,
     )
-    out_b = WhisperEncoder(cfg_b).apply(
+    out_b = jax.jit(WhisperEncoder(cfg_b).apply)(
         variables, mel_a[:, :, :1024], lengths=lengths
     )  # t=512, 512-multiple: no extra pad
     np.testing.assert_allclose(
