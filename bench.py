@@ -155,9 +155,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     # throughput sweet spot on a 16 GB v5e: decode weight streaming amortises
-    # over the batch (RTF 178.0 at batch 8 -> 185.6 at 32; 32 fits since the
-    # serving embed table dropped to bf16)
-    parser.add_argument("--batch", type=int, default=32)
+    # over the batch (r3 sweep: 196.6 at batch 32 -> 204.3 at 48; 64 OOMs).
+    # 48 fits since the serving embed table dropped to bf16 and the flash
+    # kernel's single-kv-block mode trimmed encoder transients.
+    parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--seconds", type=float, default=16.0, help="utterance length")
     parser.add_argument("--beams", type=int, default=5)
     parser.add_argument("--new-tokens", type=int, default=64)
