@@ -52,7 +52,10 @@ def _gather_beams(tree, indices, b, k):
     [B, K, K] contraction reads each cache byte once and is exact (1.0/0.0
     weights select values bit-exactly).  Gated to k >= 8: at small K the
     select lowering is competitive and the einsum's tile padding loses
-    (measured at beam 5)."""
+    (measured at beam 5; re-measured r3 at batch 48 with the split gen
+    cache — einsum 2.88 s vs take_along_axis 2.85 s per 64-step decode,
+    still no win, even though the gather+select_n pair is ~10 ms/step,
+    2.3x its HBM roofline)."""
     onehot = None
 
     def gather(x):
