@@ -62,6 +62,18 @@ def _gather_beams(tree, indices, b, k):
         nonlocal onehot
         if x.ndim == 0 or x.shape[0] != b * k:
             return x  # scalar leaves (e.g. cache write index) are beam-invariant
+        if (
+            x.ndim >= 3
+            and x.size >= (1 << 18)
+            and jax.default_backend() == "tpu"
+            and x.shape[-1] % 128 == 0
+        ):
+            # big KV-cache leaves: DMA-driven gather (ops/beam_gather.py) —
+            # one read + one write per byte; the take_along_axis lowering's
+            # gather + K-way select_n chain measured 2.3x roofline in-loop
+            from .beam_gather import gather_beams_rows
+
+            return gather_beams_rows(x, indices, b, k)
         xb = _unflatten_beam(x, b, k)
         if (
             k >= 8

@@ -315,3 +315,20 @@ def test_gather_beams_onehot_path_exact(rng):
     ss = np.asarray(small).reshape(b, k, 7)
     exp_s = np.stack([ss[i, np.asarray(idx)[i]] for i in range(b)]).reshape(b * k, 7)
     np.testing.assert_array_equal(np.asarray(out["small"]), exp_s)
+
+
+def test_beam_gather_rows_matches_take_along_axis(rng):
+    from multimodalvc_tpu.ops.beam_gather import gather_beams_rows, gather_rows
+
+    b, k, h, L, d = 3, 5, 2, 4, 128
+    x = jnp.asarray(rng.standard_normal((b * k, h, L, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, k, (b, k)), jnp.int32)
+    got = np.asarray(gather_beams_rows(x, idx, b, k))
+    xb = np.asarray(x).reshape(b, k, h, L, d)
+    exp = np.stack([xb[i, np.asarray(idx)[i]] for i in range(b)]).reshape(b * k, h, L, d)
+    np.testing.assert_array_equal(got, exp)
+
+    # raw row gather with duplicate + out-of-order sources
+    src = jnp.asarray([4, 4, 0, 7, 2], jnp.int32)
+    got2 = np.asarray(gather_rows(x, src))
+    np.testing.assert_array_equal(got2, np.asarray(x)[np.asarray(src)])
