@@ -204,15 +204,22 @@ def beam_search(
         if no_repeat_ngram_size > 0:
             logp = apply_ngram_block(logp, state.live_seqs, step, no_repeat_ngram_size)
 
-        cand = state.live_scores[:, :, None] + logp  # [B, K, V]
-        flat_cand = cand.reshape(b, k * vocab)
         # 2K candidates so EOS picks never starve the live set (HF-style).
-        # NEGATIVE RESULT (r3, v5e): a two-stage block top-k (per-2048-block
-        # top_k, then re-reduce the block winners) measured ~5.7 ms/step
-        # SLOWER than this single lax.top_k at [32, 641280] — XLA's native
-        # TopK is already near-roofline here; the block reshape/pad pass
-        # re-reads the whole row.  Don't re-attempt without profiling first.
-        top2k_scores, top2k_idx = jax.lax.top_k(flat_cand, 2 * k)
+        # On TPU the fused Pallas kernel (ops/topk.py) avoids materialising
+        # the [B, K*V] candidate row and beats XLA's TopK custom call
+        # (3.9 ms/step at [48, 641280] in the r3 trace).
+        # NEGATIVE RESULT (r3, v5e): a two-stage *XLA* block top-k (per-block
+        # top_k, then re-reduce the winners) measured ~5.7 ms/step SLOWER
+        # than the single lax.top_k — the win needs VMEM residency, not
+        # blocking; don't re-attempt the XLA variant.
+        if jax.default_backend() == "tpu":
+            from .topk import beam_topk
+
+            top2k_scores, top2k_idx = beam_topk(logp, state.live_scores, 2 * k)
+        else:
+            cand = state.live_scores[:, :, None] + logp  # [B, K, V]
+            flat_cand = cand.reshape(b, k * vocab)
+            top2k_scores, top2k_idx = jax.lax.top_k(flat_cand, 2 * k)
         cand_beam = top2k_idx // vocab  # [B, 2K]
         cand_token = top2k_idx % vocab
 

@@ -332,3 +332,21 @@ def test_beam_gather_rows_matches_take_along_axis(rng):
     src = jnp.asarray([4, 4, 0, 7, 2], jnp.int32)
     got2 = np.asarray(gather_rows(x, src))
     np.testing.assert_array_equal(got2, np.asarray(x)[np.asarray(src)])
+
+
+def test_beam_topk_matches_lax(rng):
+    from multimodalvc_tpu.ops.topk import beam_topk
+
+    b, k, v = 3, 5, 4000
+    logp = rng.standard_normal((b, k, v)).astype(np.float32)
+    # exact cross-beam and in-beam ties to exercise the index-asc tie-break
+    logp[0, 1, 7] = logp[0, 3, 2900] = logp[0, 0, 100] = 4.5
+    logp[1, 2, 5] = logp[1, 2, 6] = 3.25
+    scores = rng.standard_normal((b, k)).astype(np.float32)
+    scores[0] = 0.0  # keep the planted ties exact after the add
+    v_ref, i_ref = jax.lax.top_k(
+        (jnp.asarray(scores)[:, :, None] + jnp.asarray(logp)).reshape(b, k * v), 10
+    )
+    v2, i2 = beam_topk(jnp.asarray(logp), jnp.asarray(scores), 10)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
