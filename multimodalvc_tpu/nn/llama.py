@@ -285,20 +285,26 @@ class LlamaAttention(nn.Module):
         rep = h // hkv
         if cache is not None and "prompt_k" in cache:
             # split cache: the prompt KV is SHARED across beams ([B, ...])
-            # while generated KV is per-beam ([B*K, ...]) — beam decode never
-            # re-reads K copies of identical prompt keys, and beam reorder
-            # only gathers the small generated segment.
-            # NEGATIVE RESULT (r3, v5e): storing the generated segment
-            # slot-major ([L, B*K, hkv, d], so the per-step write lands on
-            # whole tiles) measured NEUTRAL end-to-end — the XLA while-loop
-            # already keeps this layout's update in place; don't re-attempt
-            # without a profile showing the dus/copy cost has grown.
+            # while generated KV is per-beam — beam decode never re-reads K
+            # copies of identical prompt keys, and beam reorder only gathers
+            # the small generated segment.  The generated segment is stored
+            # [B*K, L, hkv, d] — slots SECOND — because (a) XLA's preferred
+            # physical layout for the attention einsums puts g*d minor (it
+            # was inserting a {3,1,2,0} transpose copy, 291 ms/decode at
+            # batch 48, between the default-layout Pallas beam gather and
+            # the einsum when slots sat third), and (b) the beam gather
+            # (ops/beam_gather.py) only needs rows on dim 0.
+            # NEGATIVE RESULT (r3, v5e): fully slot-MAJOR ([L, B*K, hkv, d])
+            # measured neutral back when the reorder was an XLA gather;
+            # slots-second only pays off together with the Pallas gather.
             idx = cache["index"]
+            k_sl = k.transpose(0, 2, 1, 3)  # [B*K, t, hkv, d]
+            v_sl = v.transpose(0, 2, 1, 3)
             ck = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0)
+                cache["k"], k_sl.astype(cache["k"].dtype), (0, idx, 0, 0)
             )
             cv = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0)
+                cache["v"], v_sl.astype(cache["v"].dtype), (0, idx, 0, 0)
             )
             new_cache = {**cache, "k": ck, "v": cv, "index": idx + t}
             pk, pv = cache["prompt_k"], cache["prompt_v"]  # [B, hkv, Tp, d]
@@ -323,10 +329,10 @@ class LlamaAttention(nn.Module):
             # generated segment: per-beam, causal on write slots
             q_g = q.reshape(b, hkv, rep, t, hd)
             s_g = jnp.einsum(
-                "Bgrtd,Bgld->Bgrtl", q_g, ck.astype(self.dtype),
+                "Bgrtd,Blgd->Bgrtl", q_g, ck.astype(self.dtype),
                 preferred_element_type=jnp.float32,
             ) * scale
-            tg = ck.shape[2]
+            tg = ck.shape[1]
             s_g = s_g.reshape(b, h, t, tg)
             gen_valid = jnp.arange(tg)[None, None, None, :] <= (idx + t - 1)
             s_g = jnp.where(gen_valid, s_g, -1e30)
@@ -338,7 +344,7 @@ class LlamaAttention(nn.Module):
                 pv_c,
             ).reshape(b, h, t, hd)
             out_g = jnp.einsum(
-                "Bgrtl,Bgld->Bgrtd",
+                "Bgrtl,Blgd->Bgrtd",
                 w_g.reshape(b, hkv, rep, t, tg).astype(self.dtype),
                 cv.astype(self.dtype),
             ).reshape(b, h, t, hd)
@@ -650,7 +656,8 @@ def generate_beam(
             # prompt-KV HBM reads per decode step and shrinks beam reordering
             # to the generated segment.
             cfg_m = model.cfg
-            gen_shape = (b * k, cfg_m.num_kv_heads, max_new_tokens, cfg_m.head_dim)
+            # slots-second layout: see the split-cache note in LlamaAttention
+            gen_shape = (b * k, max_new_tokens, cfg_m.num_kv_heads, cfg_m.head_dim)
             cache_k = tuple(
                 {
                     "prompt_k": c["k"],
