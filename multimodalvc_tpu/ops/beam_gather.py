@@ -9,6 +9,18 @@ the 56 cache leaves).  Here the scalar-prefetched source-row vector drives
 each output block's input index directly — the DMA engine performs the
 gather (reference analog: the beam reorder inside
 fairseq/fairseq/sequence_generator.py reorder_incremental_state).
+
+NEGATIVE RESULT (r3, v5e): the remaining cost around this kernel is a
+~271 ms/decode copy of its output back into the while-loop carry buffer
+(fresh pallas outputs cannot alias the carry).  A ping-pong variant —
+double-buffered cache leaves, ``input_output_aliases`` donating a scratch
+destination, the loop body unrolled in pairs so buffers return to their
+carry slots — measured SLOWER end-to-end (2.38-2.50 s vs 2.21 s per
+64-step decode at batch 48): the donation does not eliminate the carry
+copies in practice, a blocked dst spec even DMA-reads the dead destination
+buffer (fixed with memory_space=ANY, still net negative), and the paired
+body + trailing lax.cond add their own copies.  Don't re-attempt without
+evidence XLA's while-loop buffer assignment changed.
 """
 from __future__ import annotations
 
