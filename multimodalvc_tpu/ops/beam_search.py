@@ -263,17 +263,19 @@ def beam_search(
 
     state = jax.lax.while_loop(cond, body, state)
 
-    # fall back to live beams where nothing finished
-    none_finished = ~jnp.any(state.finished_flags, axis=1)
-    final_live_scores = state.live_scores / (jnp.float32(l) ** length_penalty)
-    seqs = jnp.where(
-        none_finished[:, None, None], state.live_seqs, state.finished_seqs
-    )
-    scores = jnp.where(none_finished[:, None], final_live_scores, state.finished_scores)
-    # sort by score descending
-    order = jnp.argsort(-scores, axis=1)
-    seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
-    scores = jnp.take_along_axis(scores, order, axis=1)
+    # HF finalize semantics (BeamSearchScorer.finalize): live beams COMPETE
+    # with the finished pool at loop exit, normalized at their actual
+    # generated length — not only when nothing finished.  (At an early exit
+    # the cond's conservative bound already proves no live beam can win, so
+    # merging unconditionally is exact; at budget exit step == l.)  A prior
+    # version only fell back to live beams when the finished set was empty,
+    # which kept a short early-EOS hypothesis over a better long live one.
+    gen_len_final = jnp.maximum(state.step.astype(jnp.float32), 1.0)
+    final_live_scores = state.live_scores / (gen_len_final**length_penalty)
+    all_seqs = jnp.concatenate([state.finished_seqs, state.live_seqs], axis=1)
+    all_scores = jnp.concatenate([state.finished_scores, final_live_scores], axis=1)
+    scores, order = jax.lax.top_k(all_scores, k)  # [B, K] best of finished+live
+    seqs = jnp.take_along_axis(all_seqs, order[:, :, None], axis=1)
     return seqs, scores
 
 
@@ -525,12 +527,11 @@ def diverse_beam_search(
 
     state = jax.lax.while_loop(cond, body, state)
 
-    none_finished = ~jnp.any(state.finished_flags, axis=1)
-    final_live = state.live_scores / (jnp.float32(l) ** length_penalty)
-    seqs = jnp.where(none_finished[:, None, None], state.live_seqs, state.finished_seqs)
-    scores = jnp.where(none_finished[:, None], final_live, state.finished_scores)
-    order = jnp.argsort(-scores, axis=1)
-    return (
-        jnp.take_along_axis(seqs, order[:, :, None], axis=1),
-        jnp.take_along_axis(scores, order, axis=1),
-    )
+    # HF finalize: live beams compete with the finished pool (see the
+    # matching note in beam_search)
+    gen_len_final = jnp.maximum(state.step.astype(jnp.float32), 1.0)
+    final_live = state.live_scores / (gen_len_final**length_penalty)
+    all_seqs = jnp.concatenate([state.finished_seqs, state.live_seqs], axis=1)
+    all_scores = jnp.concatenate([state.finished_scores, final_live], axis=1)
+    scores, order = jax.lax.top_k(all_scores, num_beams)
+    return jnp.take_along_axis(all_seqs, order[:, :, None], axis=1), scores

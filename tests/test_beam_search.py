@@ -350,3 +350,31 @@ def test_beam_topk_matches_lax(rng):
     v2, i2 = beam_topk(jnp.asarray(logp), jnp.asarray(scores), 10)
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
+
+
+def test_finalize_live_beats_early_eos():
+    """HF finalize: at budget exhaustion live beams compete with the finished
+    pool.  An immediate-EOS hypothesis (normalized at length 1) must LOSE to
+    a longer live hypothesis whose per-token logprob is much better.
+    Regression: a prior version returned finished hypotheses whenever any
+    existed, keeping the early EOS."""
+    from multimodalvc_tpu.ops.beam_search import beam_search
+
+    V, L = 4, 6  # tokens: 0=pad, 1, 2=EOS, 3
+    # first step: EOS has prob 0.3, token 3 has prob 0.6
+    first = jnp.log(jnp.asarray([[1e-6, 0.1, 0.3, 0.6]], jnp.float32))
+
+    def decode_fn(tokens, positions, cache):
+        # continuing is nearly free: token 3 has prob ~1 forever
+        row = jnp.log(jnp.asarray([1e-9, 1e-9, 1e-9, 1.0 - 3e-9], jnp.float32))
+        return jnp.broadcast_to(row, (tokens.shape[0], V)), cache
+
+    seqs, scores = beam_search(
+        decode_fn, {}, jnp.asarray([3], jnp.int32), first,
+        eos_token_id=2, pad_token_id=0, max_new_tokens=L, num_beams=2,
+    )
+    best = np.asarray(seqs)[0, 0]
+    # live hypothesis: 3,3,3,3,3,3 with score ~log(0.6)/6 = -0.085
+    # early-EOS hypothesis: [2] with score log(0.3)/1 = -1.20
+    assert best.tolist() == [3] * L, best
+    assert np.asarray(scores)[0, 0] > np.log(0.3) + 1e-3

@@ -37,6 +37,10 @@ def make_hf_tiny():
         tie_word_embeddings=True,
         attn_implementation="eager",
     )
+    # deterministic weights: unseeded torch init made the beam-parity tests
+    # property tests over random draws — one draw exposed (and now pins) the
+    # finalize live-vs-finished bug, but CI needs reproducibility
+    torch.manual_seed(0)
     hf = transformers.LlamaForCausalLM(hf_cfg)
     hf.eval()
     return hf
