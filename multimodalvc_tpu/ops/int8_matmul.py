@@ -91,8 +91,16 @@ def int8_matmul(
             b -= 128
         return b
 
-    block_in = _fit(block_in, d_in)
-    block_out = _fit(block_out, d_out)
+    if d_out >= 16384:
+        # very wide outputs (the tied-lm-head unembed, [3072, 128256]):
+        # a full-depth in-block + 2048-wide out-block re-reads x fewer
+        # times (v5e sweep at rows=240: 2.61 ms at 1024x1024 -> 2.39 at
+        # 3072x2048); trunk-shaped matmuls keep the 1024x1024 default
+        block_in = _fit(max(block_in, 4096), d_in)
+        block_out = _fit(max(block_out, 2048), d_out)
+    else:
+        block_in = _fit(block_in, d_in)
+        block_out = _fit(block_out, d_out)
     rows_p = max(-(-rows // 16) * 16, 16)
     if rows_p != rows:
         x2 = jnp.pad(x2, ((0, rows_p - rows), (0, 0)))
