@@ -91,11 +91,14 @@ def int8_matmul(
             b -= 128
         return b
 
-    if d_out >= 16384:
+    if d_out >= 16384 and rows <= 256:
         # very wide outputs (the tied-lm-head unembed, [3072, 128256]):
         # a full-depth in-block + 2048-wide out-block re-reads x fewer
         # times (v5e sweep at rows=240: 2.61 ms at 1024x1024 -> 2.39 at
-        # 3072x2048); trunk-shaped matmuls keep the 1024x1024 default
+        # 3072x2048); trunk-shaped matmuls keep the 1024x1024 default.
+        # Gated on rows <= 256 (validated at 240): at 512 rows the bf16
+        # dequant of the 3072x2048 tile + x/acc/out blocks (~12+3+4+2 MB)
+        # risks the VMEM budget, so larger row counts keep 1024x1024.
         block_in = _fit(max(block_in, 4096), d_in)
         block_out = _fit(max(block_out, 2048), d_out)
     else:

@@ -8,12 +8,19 @@ tensor to materialise.
 
 Structure: the kernel fuses the ``scores[:, :, None] + logp`` add and
 extracts a per-column-block top-n (n max-extraction passes over a VMEM
-block); the global top-n is then a tiny ``lax.top_k`` over the
+block); the global top-n is then a tiny multi-key sort over the
 [B, nblocks*n] block winners.  Exact whenever n <= block columns (every
 global winner wins its own block), with lax.top_k's value-desc /
 index-asc tie order reproduced end to end: per-block extraction breaks
-ties on the lowest flat index, and block winners are merged in flat-index
-order.
+ties on the lowest flat index, and the merge sorts block winners by
+(value desc, flat index asc) — block-major order alone is NOT flat-index
+order across column blocks, so a plain lax.top_k over the concatenated
+winners would break cross-block ties wrongly (r3 ADVICE).
+
+Inputs are clamped to > NEG_INF on entry, so rows containing -inf (e.g. a
+caller masking with -inf) cannot resurrect already-extracted elements;
+the clamp means returned *values* saturate at the clamp rather than -inf
+for such masked entries — indices (what beam search consumes) are exact.
 
 NEGATIVE RESULTS kept on record (r3):
 - a two-stage *XLA* block top-k was ~5.7 ms/step SLOWER than the native
@@ -31,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -3.0e38  # below any f32 logprob sum; must survive f32 exactly
+_CLAMP = -2.9e38  # inputs clamped here: strictly above the knock-out sentinel
 
 
 def _block_topk_kernel(
@@ -47,6 +55,7 @@ def _block_topk_kernel(
 ):
     vb = pl.program_id(1)
     x = logp_ref[0].astype(jnp.float32) + scores_ref[0, :, :1].astype(jnp.float32)
+    x = jnp.maximum(x, _CLAMP)  # -inf inputs must stay above the sentinel
     # FLAT candidate index (row-major over [K, V]) of each element in this
     # column block — ties must break on the global flat index
     col0 = vb * v_blk
@@ -119,10 +128,14 @@ def beam_topk(
         ],
         interpret=interpret,
     )(logp, scores[..., None])
-    # merge block winners: flatten in block order (= ascending flat index,
-    # preserving lax.top_k's tie order) and take the global top-n
+    # merge block winners with a lexicographic (value desc, flat index asc)
+    # sort — matches lax.top_k's tie order even when equal values straddle
+    # column blocks (flat index is NOT monotone in block-major order: block 0
+    # holds row 1's small columns at flat index >= V while block 1 holds row
+    # 0's later columns at flat index < V).  nblocks*n is tiny (~60).
     cand_v = vals[:, :, 0, :n].reshape(b, nblocks * n)
     cand_i = idx[:, :, 0, :n].reshape(b, nblocks * n)
-    top_v, pos = jax.lax.top_k(cand_v, n)
-    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-    return top_v, top_i
+    _, top_i, top_v = jax.lax.sort(
+        (-cand_v, cand_i, cand_v), dimension=1, num_keys=2
+    )
+    return top_v[:, :n], top_i[:, :n]

@@ -352,6 +352,31 @@ def test_beam_topk_matches_lax(rng):
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
 
 
+def test_beam_topk_multiblock_tie_order(rng):
+    """Ties that straddle column blocks must keep lax.top_k's value-desc /
+    flat-index-asc order.  V is a 128-multiple large enough for the kernel to
+    split into multiple column blocks (block-major merge order is NOT flat
+    index order), and the planted tie pairs a later row's low column (block 0,
+    large flat index) with an earlier row's high column (block 1+, small flat
+    index).  Regression for the r3 ADVICE finding."""
+    from multimodalvc_tpu.ops.topk import _pick_block, beam_topk
+
+    b, k, v = 2, 2, 49152
+    assert v // _pick_block(v) >= 2, "test requires a multi-block split"
+    logp = (rng.standard_normal((b, k, v)) - 20.0).astype(np.float32)
+    # flat 24576 (row 0 -> block 1) ties flat 49152 (row 1, col 0 -> block 0)
+    logp[0, 0, 24576] = logp[0, 1, 0] = 5.0
+    # a 3-way tie spanning blocks, plus -inf masking must not break knock-out
+    logp[1, 0, 30000] = logp[1, 1, 1] = logp[1, 1, 40000] = 2.5
+    logp[1, 0, :10] = -np.inf
+    scores = np.zeros((b, k), np.float32)
+    cand = np.where(np.isinf(logp), -2.9e38, logp).reshape(b, k * v)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(cand), 6)
+    v2, i2 = beam_topk(jnp.asarray(logp), jnp.asarray(scores), 6)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
+
+
 def test_finalize_live_beats_early_eos():
     """HF finalize: at budget exhaustion live beams compete with the finished
     pool.  An immediate-EOS hypothesis (normalized at length 1) must LOSE to
