@@ -187,3 +187,39 @@ def load_vendored_avhubert():
 
     with _dataclass_mutable_default_compat():
         return importlib.import_module("avhubert.hubert")
+
+
+def load_reference_product():
+    """Import and return the vendored ``src`` product package (torch).
+
+    Gives the parity tests the reference's ACTUAL system-level forwards —
+    src/model.py MMS_LLaMA (incl. query_length_calculation,
+    compression_using_qformer, prepare_inputs_labels_for_queries),
+    src/modelSpeech.py, src/modelSpeechNoLLM.py, src/modelSpeechNoLLM_E2E.py —
+    not reimplementations.  src/__init__ imports the whole plugin chain, so a
+    few dataset/criterion-only deps that are absent in this image are stubbed
+    (they are never called by the model forwards under test):
+    torchaudio (noise mixing / mel transforms), soundfile & cv2 (audio/video
+    file IO), librosa, editdistance (criterion WER).
+    """
+    if "src" in sys.modules and hasattr(sys.modules["src"], "model"):
+        return sys.modules["src"]
+    hub = load_vendored_avhubert()
+    # avhubert/hubert_asr.py does `from hubert import AVHubertModel` with the
+    # avhubert dir on sys.path; alias so the module is not re-executed (which
+    # would re-register the 'av_hubert' model and raise)
+    sys.modules.setdefault("hubert", hub)
+    for name in (
+        "torchaudio", "torchaudio.functional", "torchaudio.transforms",
+        "cv2", "librosa", "editdistance", "soundfile",
+    ):
+        if name not in sys.modules:
+            _stub_module(name)
+    ta = sys.modules["torchaudio"]
+    ta.functional = sys.modules["torchaudio.functional"]
+    ta.transforms = sys.modules["torchaudio.transforms"]
+    if REF not in sys.path:
+        sys.path.append(REF)
+    with _dataclass_mutable_default_compat():
+        importlib.import_module("src.model")
+    return sys.modules["src"]
