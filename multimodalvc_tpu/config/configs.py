@@ -156,6 +156,10 @@ class GenerationConfig:
     # weight-only quantized decode: None | "int8" | "int4" (serving format;
     # reference analog: NF4 4-bit via bitsandbytes, src/model.py:231-238)
     weight_quant: Optional[str] = None
+    # lexically-constrained decoding: None | "unordered" | "ordered"
+    # (fairseq --constraints, fairseq/fairseq/search.py:433-814); constraint
+    # token lists are supplied per batch through the generate call
+    constraints: Optional[str] = None
 
 
 @dataclass

@@ -192,10 +192,14 @@ def generate_seq2seq(
     max_new_tokens: int = 100,
     num_beams: int = 5,
     length_penalty: float = 1.0,
+    constraints=None,  # packed [B, maxlen] (ops.constraints.pack_constraints)
+    constraints_mode: str = "unordered",
 ):
     """SequenceGenerator analog over the shared while-loop beam search
-    (avhubert/sequence_generator.py:20-986 in ~40 lines)."""
-    from ..ops.beam_search import beam_search
+    (avhubert/sequence_generator.py:20-986 in ~40 lines).  With
+    ``constraints`` set, decodes through the lexically-constrained strategy
+    (fairseq --constraints {unordered,ordered})."""
+    from ..ops.beam_search import beam_search, constrained_beam_search
 
     cfg = decoder.cfg
     b = enc.shape[0]
@@ -234,6 +238,23 @@ def generate_seq2seq(
         )
         return o["logits"][:, -1], o["cache"]
 
+    if constraints is not None:
+        from ..ops import constraints as C
+
+        build = C.build_unordered if constraints_mode == "unordered" else C.build_ordered
+        return constrained_beam_search(
+            decode_fn,
+            cache_k,
+            prompt_lengths=jnp.ones((b,), jnp.int32),
+            first_logits=first_logits,
+            eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id,
+            max_new_tokens=max_new_tokens,
+            constraint_set=build(np.asarray(constraints)),
+            num_beams=k,
+            length_penalty=length_penalty,
+            mode=constraints_mode,
+        )
     return beam_search(
         decode_fn,
         cache_k,

@@ -388,6 +388,306 @@ def sample_search(
     return seqs
 
 
+def _constrained_step_row(
+    logp,  # [K, V] this step's log-probs (EOS pre-banned for unfinished)
+    scores,  # [K] cumulative scores
+    cons,  # one row of TrieArrays / SequenceArrays
+    state,  # one row of the constraint state pytree (leaves [K, ...])
+    *,
+    k: int,
+    is_step0: bool,
+    mode: str,
+):
+    """One row of LexicallyConstrainedBeamSearch.step + step_sentence
+    (fairseq/fairseq/search.py:263-524) with static shapes.
+
+    Candidates = top-2K over the flattened cumulative scores, plus (step>0)
+    the top-1 of every beam, plus every beam's constraint next-tokens; all
+    candidates are advanced through the constraint automaton, sorted by
+    fairseq's (bank, score) key, deduped on (beam, token), striped
+    round-robin across banks, and truncated to 2K.  Returns
+    (scores [2K], tokens [2K], beams [2K], new_state leaves [2K, ...]).
+    """
+    from . import constraints as C
+
+    kv = logp.shape[-1]
+    if is_step0:
+        # fairseq uses only the first beam at step 0 (search.py:326-328)
+        cum = jnp.where(jnp.arange(k)[:, None] == 0, logp, NEG_INF)
+    else:
+        cum = scores[:, None] + logp  # [K, V]
+
+    s_top, i_top = jax.lax.top_k(cum.reshape(-1), 2 * k)
+    cand_s = [s_top]
+    cand_t = [(i_top % kv).astype(jnp.int32)]
+    cand_b = [(i_top // kv).astype(jnp.int32)]
+    cand_ok = [jnp.ones((2 * k,), bool)]
+
+    if not is_step0:
+        # STEP 1: top-1 of each hypothesis (search.py:347-358)
+        s1 = jnp.max(cum, axis=-1)
+        t1 = jnp.argmax(cum, axis=-1).astype(jnp.int32)
+        cand_s.append(s1)
+        cand_t.append(t1)
+        cand_b.append(jnp.arange(k, dtype=jnp.int32))
+        cand_ok.append(jnp.ones((k,), bool))
+
+    # STEP 2: every beam's constraint next-tokens (step_sentence :398-410);
+    # at step 0 only beam 0's (the loop breaks, :412-414)
+    if mode == "unordered":
+        nt = jax.vmap(lambda n: C.unordered_next_tokens(cons, n))(state.node)
+    else:
+        nt = jax.vmap(lambda s: C.ordered_next_tokens(cons, s))(state)
+    ctoks, cok = nt  # [K, Cn]
+    cn = ctoks.shape[-1]
+    if is_step0:
+        cok = cok & (jnp.arange(k)[:, None] == 0)
+    safe_t = jnp.clip(ctoks, 0, kv - 1)
+    cscores = jnp.take_along_axis(cum, safe_t, axis=-1)  # [K, Cn]
+    cand_s.append(cscores.reshape(-1))
+    cand_t.append(safe_t.reshape(-1).astype(jnp.int32))
+    cand_b.append(jnp.repeat(jnp.arange(k, dtype=jnp.int32), cn))
+    cand_ok.append(cok.reshape(-1))
+
+    s_all = jnp.concatenate(cand_s)
+    t_all = jnp.concatenate(cand_t)
+    b_all = jnp.concatenate(cand_b)
+    ok_all = jnp.concatenate(cand_ok)
+    c = s_all.shape[0]
+
+    # STEP 3: advance every candidate through the automaton -> banks
+    if mode == "unordered":
+        def adv(bm, tok):
+            return C.unordered_advance(
+                cons, state.node[bm], state.generated[bm], state.completed[bm], tok
+            )
+
+        node_c, gen_c, comp_c = jax.vmap(adv)(b_all, t_all)
+        new_state = C.UnorderedState(node=node_c, generated=gen_c, completed=comp_c)
+        banks = C.unordered_bank(gen_c)
+    else:
+        new_state = jax.vmap(lambda bm, tok: C.ordered_advance(cons, state[bm], tok))(
+            b_all, t_all
+        )
+        banks = C.ordered_bank(new_state)
+
+    # STEP 4: sort by fairseq's exact key (search.py:436-443):
+    # (num_constraint_tokens - banks) * MAX_SCORE + score, descending
+    t_total = cons.num_constraint_tokens.astype(jnp.float32)
+    key = (t_total - banks.astype(jnp.float32)) * (-100.0) + s_all
+    key = jnp.where(ok_all, key, -3.0e38)
+    order = jnp.argsort(-key)  # stable: ties keep candidate order
+    rank = jnp.zeros((c,), jnp.int32).at[order].set(jnp.arange(c, dtype=jnp.int32))
+
+    # STEP 5: dedup (beam, token) keeping the first in sort order (:454-480)
+    ids = b_all * (kv + 1) + t_all
+    same = (ids[None, :] == ids[:, None]) & ok_all[None, :]
+    earlier = rank[None, :] < rank[:, None]
+    ok_all = ok_all & ~jnp.any(same & earlier, axis=1)
+
+    # STEP 6+7: stripe round-robin across banks and re-sort (:480-517).
+    # cnt = position within this bank's (sorted-contiguous) run
+    same_bank = banks[None, :] == banks[:, None]
+    cnt = jnp.sum(same_bank & earlier & ok_all[None, :], axis=1).astype(jnp.int32)
+    l_valid = jnp.sum(ok_all).astype(jnp.int32)
+    stripes = (
+        t_total.astype(jnp.int32) - banks + cnt * (l_valid + 1)
+    )
+    stripes = jnp.where(ok_all, stripes, jnp.int32(1 << 30))
+    _, _, perm = jax.lax.sort(
+        (stripes, rank, jnp.arange(c, dtype=jnp.int32)), dimension=0, num_keys=2
+    )
+    sel = perm[: 2 * k]  # STEP 8: truncate (:518-522); >=2K uniques always
+
+    gather_state = jax.tree.map(lambda x: x[sel], new_state)
+    return s_all[sel], t_all[sel], b_all[sel], gather_state
+
+
+def constrained_beam_search(
+    decode_fn,
+    init_cache,
+    prompt_lengths: jnp.ndarray,
+    first_logits: jnp.ndarray,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+    constraint_set,  # ops.constraints.TrieArrays | SequenceArrays (leaves [B, ...])
+    num_beams: int = 5,
+    length_penalty: float = 1.0,
+    mode: str = "unordered",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lexically-constrained beam search (fairseq
+    LexicallyConstrainedBeamSearch, search.py:433-524, over our shared
+    while-loop decoder).  Hypotheses are striped across constraint banks
+    every step, guaranteeing progress through the constraints; EOS is banned
+    until a hypothesis has satisfied all its constraints (search.py:310-323).
+
+    Candidate semantics (selection window, bank striping, dedup, sort keys)
+    follow fairseq exactly — parity-tested per step in
+    tests/test_constrained.py.  Finalization keeps this framework's HF-style
+    merge (live beams compete with the finished pool at exit).  Rows whose
+    constraint set is empty degrade to plain beam search.
+    """
+    from . import constraints as C
+
+    b = first_logits.shape[0]
+    k = num_beams
+    vocab = first_logits.shape[-1]
+    l = max_new_tokens
+    if 2 * k > vocab:
+        raise ValueError("constrained search needs 2*beam <= vocab")
+
+    if mode == "unordered":
+        state0 = C.unordered_init(constraint_set, k)
+        cons_axes = type(constraint_set)(
+            token=0, parent=0, terminal=0, num_constraints=0, node_valid=0,
+            num_constraint_tokens=0, max_depth=None,
+        )
+
+        def is_finished(state):  # [B, K] bool
+            return jax.vmap(
+                lambda cr, nd, cp: jax.vmap(
+                    lambda n_, c_: C.unordered_finished(cr, n_, c_)
+                )(nd, cp),
+                in_axes=(cons_axes, 0, 0),
+            )(constraint_set, state.node, state.completed)
+
+    else:
+        state0 = C.ordered_init(constraint_set, k)
+        cons_axes = type(constraint_set)(
+            seq=0, endpoints=0, length=0, num_constraint_tokens=0, max_depth=None
+        )
+
+        def is_finished(state):
+            return jax.vmap(
+                lambda cr, st: jax.vmap(lambda s_: C.ordered_finished(cr, s_))(st),
+                in_axes=(cons_axes, 0),
+            )(constraint_set, state)
+
+    def run_step(logp, scores, state, is_step0):
+        return jax.vmap(
+            partial(_constrained_step_row, k=k, is_step0=is_step0, mode=mode),
+            in_axes=(0, 0, cons_axes, 0),
+        )(logp, scores, constraint_set, state)
+
+    # ---- step 0: expand from the prompt logits (beam 0 only) ---------------
+    logp0 = jax.nn.log_softmax(first_logits.astype(jnp.float32), axis=-1)
+    # fairseq's generator enforces min_len >= 1 (sequence_generator.py:366:
+    # lprobs[:, eos] = -inf while step < min_len), which is what keeps an
+    # unfinished-constraint hypothesis from finalizing at step 0
+    logp0 = logp0.at[:, eos_token_id].set(NEG_INF)
+    logp0 = jnp.broadcast_to(logp0[:, None], (b, k, vocab))
+    s2k, t2k, b2k, st2k = run_step(logp0, jnp.zeros((b, k), jnp.float32), state0, True)
+
+    def select_live(s2k, t2k, b2k, is_eos):
+        """First K non-EOS candidates in stripe order (the generator picks
+        actives by candidate order, not score — sequence_generator.py:528-538)."""
+        pos = jnp.broadcast_to(jnp.arange(2 * k, dtype=jnp.int32), is_eos.shape)
+        _, perm = jax.lax.sort((is_eos.astype(jnp.int32), pos), dimension=1, num_keys=1)
+        return perm[:, :k]  # stable sort keeps candidate order within non-EOS
+
+    is_eos0 = t2k == eos_token_id
+    live_idx0 = select_live(s2k, t2k, b2k, is_eos0)
+    live_tok = jnp.take_along_axis(t2k, live_idx0, axis=1)
+    live_scores = jnp.take_along_axis(s2k, live_idx0, axis=1)
+    live_state = jax.tree.map(
+        lambda x: jnp.take_along_axis(
+            x, live_idx0.reshape(live_idx0.shape + (1,) * (x.ndim - 2)), axis=1
+        ),
+        st2k,
+    )
+    live_seqs = jnp.full((b, k, l), pad_token_id, jnp.int32).at[:, :, 0].set(live_tok)
+
+    # EOS candidates inside the first-K window finalize (sequence_generator
+    # only finalizes cands[:, :beam_size])
+    win_eos = is_eos0 & (jnp.arange(2 * k) < k)[None, :]
+    fin_seqs0 = jnp.full((b, 2 * k, l), pad_token_id, jnp.int32).at[:, :, 0].set(t2k)
+    fin_scores0 = jnp.where(win_eos, s2k / (1.0**length_penalty), NEG_INF)
+    _, fin_idx = jax.lax.top_k(fin_scores0, k)
+    finished_seqs = jnp.take_along_axis(fin_seqs0, fin_idx[:, :, None], axis=1)
+    finished_scores = jnp.take_along_axis(fin_scores0, fin_idx, axis=1)
+    finished_flags = finished_scores > NEG_INF / 2
+
+    state = (
+        jnp.ones((), jnp.int32),
+        live_seqs,
+        live_scores,
+        live_state,
+        finished_seqs,
+        finished_scores,
+        finished_flags,
+        init_cache,
+    )
+
+    def cond(carry):
+        step, _, _, _, _, _, flags, _ = carry
+        return jnp.logical_and(step < l, ~jnp.all(flags))
+
+    def body(carry):
+        (step, live_seqs, live_scores, live_state,
+         fin_seqs, fin_scores, fin_flags, cache) = carry
+        prev = jax.lax.dynamic_slice_in_dim(live_seqs, step - 1, 1, axis=2)
+        flat_tokens = prev.reshape(b * k, 1)
+        positions = (prompt_lengths[:, None] + step - 1).repeat(k, axis=0).reshape(-1, 1)
+        logits, cache = decode_fn(flat_tokens, positions, cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, vocab)
+        # ban EOS while constraints are unsatisfied (search.py:310-323)
+        unfin = ~is_finished(live_state)
+        logp = logp.at[:, :, eos_token_id].set(
+            jnp.where(unfin, NEG_INF, logp[:, :, eos_token_id])
+        )
+
+        s2k, t2k, b2k, st2k = run_step(logp, live_scores, live_state, False)
+        seqs2k = jnp.take_along_axis(live_seqs, b2k[:, :, None], axis=1)
+        seqs2k = jax.lax.dynamic_update_slice_in_dim(
+            seqs2k, t2k[:, :, None], step, axis=2
+        )
+        is_eos = t2k == eos_token_id
+
+        gen_len = (step + 1).astype(jnp.float32)
+        win = (jnp.arange(2 * k) < k)[None, :]
+        f_cand = jnp.where(is_eos & win, s2k / (gen_len**length_penalty), NEG_INF)
+        all_f_seqs = jnp.concatenate([fin_seqs, seqs2k], axis=1)
+        all_f_scores = jnp.concatenate([fin_scores, f_cand], axis=1)
+        all_f_flags = jnp.concatenate([fin_flags, f_cand > NEG_INF / 2], axis=1)
+        top_f, f_idx = jax.lax.top_k(all_f_scores, k)
+        fin_seqs = jnp.take_along_axis(all_f_seqs, f_idx[:, :, None], axis=1)
+        fin_flags = jnp.take_along_axis(all_f_flags, f_idx, axis=1)
+
+        live_idx = select_live(s2k, t2k, b2k, is_eos)
+        new_scores = jnp.take_along_axis(s2k, live_idx, axis=1)
+        new_seqs = jnp.take_along_axis(seqs2k, live_idx[:, :, None], axis=1)
+        new_beam = jnp.take_along_axis(b2k, live_idx, axis=1)
+        new_state = jax.tree.map(
+            lambda x: jnp.take_along_axis(
+                x, live_idx.reshape(live_idx.shape + (1,) * (x.ndim - 2)), axis=1
+            ),
+            st2k,
+        )
+        cache = _gather_beams(cache, new_beam, b, k)
+        return (step + 1, new_seqs, new_scores, new_state,
+                fin_seqs, top_f, fin_flags, cache)
+
+    (step, live_seqs, live_scores, live_state,
+     fin_seqs, fin_scores, fin_flags, _) = jax.lax.while_loop(cond, body, state)
+
+    # finalize: live hypotheses compete with the finished pool ONLY if their
+    # constraint state is satisfied.  This matches fairseq's max-len endgame:
+    # the generator forces EOS at the budget and the constrained search bans
+    # EOS for unfinished states, so constraint-violating hypotheses reach the
+    # output with -inf scores (i.e. only when nothing satisfied exists).
+    gen_len_final = jnp.maximum(step.astype(jnp.float32), 1.0)
+    final_live = jnp.where(
+        is_finished(live_state),
+        live_scores / (gen_len_final**length_penalty),
+        NEG_INF,
+    )
+    all_seqs = jnp.concatenate([fin_seqs, live_seqs], axis=1)
+    all_scores = jnp.concatenate([fin_scores, final_live], axis=1)
+    scores, order = jax.lax.top_k(all_scores, k)
+    return jnp.take_along_axis(all_seqs, order[:, :, None], axis=1), scores
+
+
 def diverse_beam_search(
     decode_fn,
     init_cache,
