@@ -146,3 +146,64 @@ def shard_batches(
             mine.append(batches[i % len(batches)])
             i += 1
     return mine
+
+
+def pack_token_blocks(
+    sizes: Sequence[int],
+    block_size: int,
+    break_mode: Optional[str] = None,
+    document_sep_len: int = 1,
+) -> np.ndarray:
+    """Slice a concatenated token stream into LM training blocks.
+
+    Analog of fairseq's Cython ``_get_slice_indices_fast``
+    (fairseq/fairseq/data/token_block_utils_fast.pyx:52-106) used by
+    TokenBlockDataset.  Returns [N, 2] int64 (start, end) offsets into the
+    flattened stream.  Break modes:
+
+    - None/'none': fixed ``block_size`` windows, ignoring sentence bounds
+    - 'complete': greedy whole-sentence packing up to ``block_size`` (a
+      sentence longer than the block gets its own oversized block)
+    - 'complete_doc': like 'complete' but never packs across documents
+      (a sentence of exactly ``document_sep_len`` tokens separates docs);
+      single-token blocks are dropped
+    - 'eos': one block per sentence
+    """
+    sizes = np.asarray(sizes, np.int64)
+    if break_mode is None or break_mode == "none":
+        total = int(sizes.sum())
+        starts = np.arange(0, total, block_size, dtype=np.int64)
+        ends = np.minimum(starts + block_size, total)
+        return np.stack([starts, ends], axis=1)
+    if break_mode == "eos":
+        cum = sizes.cumsum()
+        out = np.zeros((len(sizes), 2), np.int64)
+        out[1:, 0] = cum[:-1]
+        out[:, 1] = cum
+        return out
+    if break_mode not in ("complete", "complete_doc"):
+        raise ValueError(f"Invalid break_mode: {break_mode}")
+    from ..native import token_blocks_complete
+
+    return token_blocks_complete(
+        sizes, block_size, break_mode == "complete_doc", document_sep_len
+    )
+
+
+def block_to_dataset_index(
+    sizes: Sequence[int], slice_indices: np.ndarray
+) -> np.ndarray:
+    """Map each (start, end) block to (start_ds_idx, start_offset,
+    end_ds_idx) in the underlying per-sentence dataset
+    (token_block_utils_fast.pyx:109-139 DatasetSearcher)."""
+    sizes = np.asarray(sizes, np.int64)
+    cum = np.concatenate([[0], sizes.cumsum()])
+    out = np.zeros((len(slice_indices), 3), np.int64)
+    s = slice_indices[:, 0]
+    e = np.maximum(slice_indices[:, 1], s + 1)  # e <= s degenerates to start
+    start_idx = np.searchsorted(cum, s, side="right") - 1
+    end_idx = np.searchsorted(cum, e - 1, side="right") - 1
+    out[:, 0] = start_idx
+    out[:, 1] = s - cum[start_idx]
+    out[:, 2] = np.where(slice_indices[:, 1] <= s, start_idx, end_idx)
+    return out

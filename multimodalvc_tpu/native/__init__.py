@@ -56,6 +56,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mmvc_batch_by_size.restype = ctypes.c_int64
     if hasattr(lib, "mmvc_bleu_counts"):
         lib.mmvc_bleu_counts.restype = None
+    if hasattr(lib, "mmvc_token_blocks_complete"):
+        lib.mmvc_token_blocks_complete.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -115,6 +117,50 @@ def batch_by_size_native(
     for pos, bid in enumerate(out):
         batches[int(bid)].append(int(order64[pos]))
     return [np.asarray(blist) for blist in batches]
+
+
+def token_blocks_complete(
+    sizes: np.ndarray,
+    block_size: int,
+    complete_doc: bool = False,
+    document_sep_len: int = 1,
+) -> np.ndarray:
+    """Greedy whole-sentence block packing (fairseq 'complete'/'complete_doc'
+    break modes, token_block_utils_fast.pyx:66-97).  C++ fast path with a
+    pure-python fallback."""
+    sizes64 = np.ascontiguousarray(sizes, dtype=np.int64)
+    n = len(sizes64)
+    lib = _load()
+    if lib is not None and hasattr(lib, "mmvc_token_blocks_complete"):
+        out = np.empty((max(n, 1), 2), dtype=np.int64)
+        nb = lib.mmvc_token_blocks_complete(
+            _i64ptr(sizes64),
+            ctypes.c_int64(n),
+            ctypes.c_int64(block_size),
+            ctypes.c_int64(1 if complete_doc else 0),
+            ctypes.c_int64(document_sep_len),
+            _i64ptr(out),
+        )
+        return out[: int(nb)].copy()
+    blocks = []
+    tok_idx = curr = i = 0
+    min_keep = 1 if complete_doc else 0
+    while i < n:
+        is_sep = complete_doc and sizes64[i] == document_sep_len
+        if (curr + sizes64[i] <= block_size or curr == 0) and not is_sep:
+            curr += int(sizes64[i])
+            i += 1
+        else:
+            if curr > min_keep:
+                blocks.append((tok_idx, tok_idx + curr))
+            tok_idx += curr
+            curr = 0
+            if is_sep:
+                tok_idx += int(sizes64[i])
+                i += 1
+    if curr > min_keep:
+        blocks.append((tok_idx, tok_idx + curr))
+    return np.asarray(blocks, np.int64).reshape(-1, 2)
 
 
 def balanced_assignment(scores: np.ndarray) -> np.ndarray:

@@ -53,4 +53,43 @@ int64_t mmvc_batch_by_size(const int64_t* sizes, const int64_t* order, int64_t n
   return count > 0 ? batch + 1 : batch;
 }
 
+// Token-block packing for LM datasets: greedy whole-sentence packing up to
+// block_size ('complete'), optionally respecting document boundaries
+// ('complete_doc').  TPU-native analog of fairseq's Cython
+// _get_slice_indices_fast (fairseq/fairseq/data/token_block_utils_fast.pyx:
+// 52-106); original implementation (single forward pass, no torch deps).
+// Returns the number of blocks written; out must hold 2 * n entries
+// (worst case: one block per sentence).
+int64_t mmvc_token_blocks_complete(const int64_t* sizes, int64_t n,
+                                   int64_t block_size, int64_t complete_doc,
+                                   int64_t document_sep_len, int64_t* out) {
+  int64_t tok_idx = 0, curr = 0, nb = 0, i = 0;
+  while (i < n) {
+    bool is_sep = complete_doc && sizes[i] == document_sep_len;
+    if ((curr + sizes[i] <= block_size || curr == 0) && !is_sep) {
+      curr += sizes[i];
+      ++i;
+    } else {
+      // 'complete_doc' drops single-token blocks (pyx:88-90)
+      if (curr > (complete_doc ? 1 : 0)) {
+        out[2 * nb] = tok_idx;
+        out[2 * nb + 1] = tok_idx + curr;
+        ++nb;
+      }
+      tok_idx += curr;
+      curr = 0;
+      if (is_sep) {
+        tok_idx += sizes[i];
+        ++i;
+      }
+    }
+  }
+  if (curr > (complete_doc ? 1 : 0)) {
+    out[2 * nb] = tok_idx;
+    out[2 * nb + 1] = tok_idx + curr;
+    ++nb;
+  }
+  return nb;
+}
+
 }  // extern "C"

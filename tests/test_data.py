@@ -108,3 +108,60 @@ def test_shard_batches_aligned():
     firsts = [int(b[0]) for s in shards for b in s[: len(batches) // 4]]
     assert len(set(firsts)) == len(firsts)
     assert shard_batches(batches, 1, 0) == batches
+
+
+def test_pack_token_blocks_modes():
+    """pack_token_blocks vs fairseq's _get_slice_indices_fast semantics
+    (fairseq/fairseq/data/token_block_utils_fast.pyx:52-106), oracle =
+    independently hand-derived block lists."""
+    from multimodalvc_tpu.data.batching import block_to_dataset_index, pack_token_blocks
+
+    sizes = [3, 5, 2, 7, 1, 4]  # total 22
+
+    # none: fixed windows over the concatenated stream
+    got = pack_token_blocks(sizes, 8, None)
+    np.testing.assert_array_equal(got, [[0, 8], [8, 16], [16, 22]])
+
+    # eos: one block per sentence
+    got = pack_token_blocks(sizes, 8, "eos")
+    np.testing.assert_array_equal(
+        got, [[0, 3], [3, 8], [8, 10], [10, 17], [17, 18], [18, 22]]
+    )
+
+    # complete: greedy whole sentences; oversized sentences get own block
+    # (the 1-token sentence packs with the preceding 7: 7 + 1 = 8 <= 8)
+    got = pack_token_blocks(sizes, 8, "complete")
+    np.testing.assert_array_equal(got, [[0, 8], [8, 10], [10, 18], [18, 22]])
+
+    # complete_doc: sep (len==1) splits documents, single-token blocks drop
+    got = pack_token_blocks([3, 2, 1, 7, 1, 1, 4], 8, "complete_doc", 1)
+    np.testing.assert_array_equal(got, [[0, 5], [6, 13], [15, 19]])
+
+    # block -> dataset index mapping (DatasetSearcher analog)
+    idx = block_to_dataset_index(sizes, np.asarray([[0, 8], [8, 10], [10, 18], [18, 22]]))
+    np.testing.assert_array_equal(
+        idx, [[0, 0, 1], [2, 0, 2], [3, 0, 4], [5, 0, 5]]
+    )
+    # 'none' mode blocks straddling sentences
+    idx = block_to_dataset_index(sizes, np.asarray([[5, 13], [13, 22]]))
+    np.testing.assert_array_equal(idx, [[1, 2, 3], [3, 3, 5]])
+
+
+def test_pack_token_blocks_native_matches_python(rng):
+    """C++ fast path == python fallback on random size streams."""
+    from multimodalvc_tpu import native
+    from multimodalvc_tpu.data.batching import pack_token_blocks
+
+    if native._load() is None:
+        pytest.skip("native unavailable")
+    for trial in range(5):
+        sizes = rng.integers(1, 12, 200).astype(np.int64)
+        fast = native.token_blocks_complete(sizes, 16, trial % 2 == 1, 1)
+        # force the python fallback
+        lib, native._lib = native._lib, None
+        failed, native._build_failed = native._build_failed, True
+        try:
+            slow = native.token_blocks_complete(sizes, 16, trial % 2 == 1, 1)
+        finally:
+            native._lib, native._build_failed = lib, failed
+        np.testing.assert_array_equal(fast, slow)
