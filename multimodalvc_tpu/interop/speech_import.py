@@ -106,3 +106,61 @@ def import_torch_conformer(
     if f"{prefix}after_norm.weight" in state:
         params["after_norm"] = _ln(state, f"{prefix}after_norm")
     return {"params": params, "batch_stats": stats}
+
+
+def import_reference_speech(
+    state: Dict[str, np.ndarray],
+    num_qformer_layers: int = 2,
+    conformer_blocks: int = 12,
+    generator_cfg=None,
+) -> Dict[str, Any]:
+    """Map a reference SPEECH-model trainable checkpoint onto param updates.
+
+    Reference speech checkpoints (like the AVSR ones) store only trainables
+    (state_dict strips frozen params, src/model.py:268-271): the shared AVSR
+    trainables (Q-Former, query_tokens, afeat conv, avfeat_to_llm projector,
+    LoRA) plus the speech head — proj1/proj2 (src/modelSpeech.py:29-48),
+    ln1/ln2/ln3 + audio/video mask embeddings for NoLLM
+    (src/modelSpeechNoLLM.py:155-171), the 12-block Conformer-L, the mel
+    head, and (E2E) the weight-normed vocoder_* generator components
+    (src/modelSpeechNoLLM_E2E.py:77-96).
+
+    Returns {'encoder': ..., 'llama': ..., 'head': ..., 'head_stats': ...,
+    'generator': ...} subtrees; callers nest them into the concrete model
+    layout (SpeechLLMModel: encoder/llama/head at the root; NoLLM:
+    encoder/head; E2E: trunk/{encoder,head} + generator).  'head_stats' are
+    Conformer BatchNorm running stats for the batch_stats collection.
+    """
+    state = {k.removeprefix("module."): v for k, v in state.items()}
+    from .avsr_import import import_reference_avsr
+
+    out: Dict[str, Any] = import_reference_avsr(state, num_qformer_layers)
+    enc = out.setdefault("encoder", {})
+    for emb in ("audio_mask_emb", "video_mask_emb"):
+        if emb in state:
+            enc[emb] = jnp.asarray(state[emb])
+
+    head: Dict[str, Any] = {}
+    if "proj1.weight" in state:
+        head["proj1"] = _lin(state, "proj1")
+        head["proj2"] = _lin(state, "proj2")
+    if "mel_head.weight" in state:
+        head["mel_head"] = _lin(state, "mel_head")
+    for i in (1, 2, 3):
+        if f"ln{i}.weight" in state:
+            head[f"ln{i}"] = _ln(state, f"ln{i}")
+    if "conformer.encoder.encoders.0.self_attn.linear_q.weight" in state:
+        conf = import_torch_conformer(state, conformer_blocks, prefix="conformer.encoder.")
+        head["conformer"] = conf["params"]
+        out["head_stats"] = {"conformer": conf["batch_stats"]}
+    if head:
+        out["head"] = head
+
+    gen_state = {
+        k[len("vocoder_") :]: v for k, v in state.items() if k.startswith("vocoder_")
+    }
+    if "conv_pre.weight_v" in gen_state:
+        from ..nn.hifigan import import_torch_generator
+
+        out["generator"] = import_torch_generator(gen_state, generator_cfg)["params"]
+    return out

@@ -31,7 +31,6 @@ from ..config.registry import register_model
 from ..nn.conformer import ConformerConfig, ConformerEncoder
 from ..nn.hifigan import HifiGanConfig, HifiGanGenerator
 from ..nn.llama import LlamaModel
-from ..nn.modules import Projector
 from ..ops.interpolate import length_mask, linear_resize_batched
 from .avsr import AVSRConfig, AVSREncoder, AVSRModel, assemble_left_padded
 
@@ -177,13 +176,11 @@ class SpeechNoLLMModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # reference NoLLM stack is qformer -> avfeat_to_llm projector (inside
+        # AVSREncoder, output dim = cfg.llama.hidden_size, set to qformer_dim
+        # for NoLLM configs) -> proj1 (src/modelSpeechNoLLM.py:140-157,348);
+        # no extra projector in between
         self.encoder = AVSREncoder(self.cfg, dtype=self.dtype)
-        self.avfeat_out = Projector(
-            hidden_dim=self.cfg.qformer_dim,
-            output_dim=self.cfg.qformer_dim,
-            dtype=self.dtype,
-            name="avfeat_to_head",
-        )
         self.head = SpeechHead(
             self.cfg, use_layer_norms=True, emit_mel=self.emit_mel, dtype=self.dtype
         )
@@ -192,15 +189,15 @@ class SpeechNoLLMModel(nn.Module):
         cfg = self.cfg
         # batch-level modality dropout mode (0=av, 1=video_only,
         # 2=audio_only) is sampled by the trainer and shipped in the batch
-        # (src/modelSpeechNoLLM.py:312-322 samples per batch too)
+        # (src/modelSpeechNoLLM.py:312-322 samples per batch too); honored
+        # whenever present so eval can also force a single-modality ablation
         queries, query_lens = self.encoder(
             batch["audio_feats"],
             batch["video"],
             batch["video_lengths"],
             train=train,
-            modality_mode=batch.get("modality_mode") if train else None,
+            modality_mode=batch.get("modality_mode"),
         )
-        queries = self.avfeat_out(queries)
         mel_lens = mel_lengths_from_samples(batch["audio_lengths"])
         out = self.head(queries, query_lens, mel_lens, train=train)
         if self.emit_mel:
@@ -232,7 +229,9 @@ class SpeechE2EModel(nn.Module):
 
     def __call__(self, batch, train: bool = False):
         out = self.trunk(batch, train=train)
-        wav = self.generator(out["features"])  # [B, T_mel*160, 1]
+        # lengths thread per-stage masking through the upsampling stack so
+        # the static padded frame buffer cannot leak into the valid tail
+        wav = self.generator(out["features"], lengths=out["mel_lengths"])
         return {"waveform": wav, "mel_lengths": out["mel_lengths"]}
 
 

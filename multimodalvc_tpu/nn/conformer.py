@@ -79,12 +79,20 @@ class ConformerConvModule(nn.Module):
     conv_heads: int = 8
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, frame_mask=None):
         from ..ops.dynamic_conv import dynamic_conv, lightweight_conv
 
         d = x.shape[-1]
         h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)
+        if frame_mask is not None:
+            # static padded buffers: frames beyond the valid length hold LN'd
+            # projection-bias garbage, and the time-mixing conv would leak it
+            # up to (k-1)/2 frames into the valid region.  The reference runs
+            # on exact-length tensors where torch zero-pads the conv
+            # (convolution.py:14-66), so the conv input at padded slots must
+            # be exactly zero for activation parity.
+            h = h * frame_mask.astype(h.dtype)
         pad = (self.kernel_size - 1) // 2
         if self.conv_type == "lightweight":
             w = self.param(
@@ -159,11 +167,16 @@ class ConformerBlock(nn.Module):
             )(h, kv_lens=lengths, deterministic=deterministic)
         )
         h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_conv")(x)
+        frame_mask = None
+        if lengths is not None:
+            frame_mask = (
+                jnp.arange(x.shape[1])[None, :, None] < lengths[:, None, None]
+            )
         x = x + drop(
             ConformerConvModule(
                 cfg.cnn_kernel, self.dtype, conv_type=cfg.conv_type,
                 conv_heads=cfg.attention_heads, name="conv_module",
-            )(h, deterministic)
+            )(h, deterministic, frame_mask=frame_mask)
         )
         h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm_ff")(x)
         if cfg.moe_experts > 1:

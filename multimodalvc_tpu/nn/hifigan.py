@@ -51,7 +51,14 @@ def _get_padding(k: int, d: int) -> int:
 
 
 class ResBlock(nn.Module):
-    """MRF residual block: two dilated+plain conv pairs per dilation."""
+    """MRF residual block: two dilated+plain conv pairs per dilation.
+
+    ``frame_mask`` ([B, T, 1] bool) supports static padded buffers: every
+    conv input is zeroed at padded frames so the kernels see exactly the
+    structural zero padding torch sees on an exact-length tensor — without
+    it, conv biases recolor the pad frames and each k>1 conv leaks them
+    into the valid tail.
+    """
 
     channels: int
     kernel_size: int
@@ -59,9 +66,12 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_mask=None):
+        def mask(h):
+            return h if frame_mask is None else h * frame_mask.astype(h.dtype)
+
         for i, d in enumerate(self.dilations):
-            h = leaky_relu(x)
+            h = mask(leaky_relu(x))
             h = WNConv1d(
                 self.channels,
                 self.kernel_size,
@@ -70,7 +80,7 @@ class ResBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"convs1_{i}",
             )(h)
-            h = leaky_relu(h)
+            h = mask(leaky_relu(h))
             h = WNConv1d(
                 self.channels,
                 self.kernel_size,
@@ -89,7 +99,14 @@ class HifiGanGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """``lengths`` ([B] valid input frames) makes a static padded buffer
+        produce bit-parity with per-row exact-length runs: every conv input
+        (here and in the ResBlocks) is zeroed beyond the valid frames, which
+        is exactly the structural zero padding torch applies to an
+        unpadded tensor.  None = whole buffer valid (zero overhead)."""
         cfg = self.config
         if cfg.unit_nums is not None and jnp.issubdtype(x.dtype, jnp.integer):
             lut = self.param(
@@ -98,26 +115,42 @@ class HifiGanGenerator(nn.Module):
                 (cfg.unit_nums + 1, cfg.in_channels),
             )
             x = lut[x]
+
+        cur_len = lengths
+
+        def mask_of(h):
+            if cur_len is None:
+                return None
+            return jnp.arange(h.shape[1])[None, :, None] < cur_len[:, None, None]
+
+        def mask(h):
+            m = mask_of(h)
+            return h if m is None else h * m.astype(h.dtype)
+
         x = WNConv1d(
             cfg.upsample_initial_channel, 7, padding=3, dtype=self.dtype, name="conv_pre"
-        )(x)
+        )(mask(x))
         n_kernels = len(cfg.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(cfg.upsample_factors, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            x = leaky_relu(x)
+            x = mask(leaky_relu(x))
             x = WNConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2, dtype=self.dtype, name=f"ups_{i}"
             )(x)
+            cur_len = None if cur_len is None else cur_len * u
+            fm = mask_of(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
             ):
-                z = ResBlock(ch, rk, rd, dtype=self.dtype, name=f"resblocks_{i * n_kernels + j}")(x)
+                z = ResBlock(ch, rk, rd, dtype=self.dtype, name=f"resblocks_{i * n_kernels + j}")(
+                    x, frame_mask=fm
+                )
                 acc = z if acc is None else acc + z
             x = acc / n_kernels
         # reference uses the default slope 0.01 here, not LRELU_SLOPE
         # (custom_hifigan/hifigan/generator.py:109)
-        x = nn.leaky_relu(x, negative_slope=0.01)
+        x = mask(nn.leaky_relu(x, negative_slope=0.01))
         x = WNConv1d(1, 7, padding=3, dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x)
 

@@ -36,6 +36,37 @@ def test_linear_resize_matches_torch_semantics(rng):
         assert np.all(got[i, tgt[i] :] == 0)
 
 
+def test_linear_resize_matches_real_torch_interpolate(rng):
+    """Directly vs torch.nn.functional.interpolate(mode='linear'),
+    align_corners=False — the exact call the reference makes per sample
+    (src/model.py:602, src/modelSpeech.py:310).  Interpolation alignment
+    semantics are a classic parity trap, so the oracle here is torch
+    itself, not a hand-built reference (r3 VERDICT weak #4)."""
+    torch = __import__("pytest").importorskip("torch")
+    import torch.nn.functional as F
+
+    b, t_in, d, t_out = 4, 37, 6, 80
+    x = rng.standard_normal((b, t_in, d)).astype(np.float32)
+    src = np.array([37, 36, 11, 2], dtype=np.int32)
+    tgt = np.array([80, 41, 3, 7], dtype=np.int32)  # up, ~same, down, up
+    got = np.asarray(
+        linear_resize_batched(jnp.asarray(x), jnp.asarray(src), jnp.asarray(tgt), t_out)
+    )
+    for i in range(b):
+        ref = (
+            F.interpolate(
+                torch.from_numpy(x[i, : src[i]].T[None]),  # [1, D, T]
+                size=int(tgt[i]),
+                mode="linear",
+                align_corners=False,
+            )[0]
+            .T.numpy()
+        )
+        np.testing.assert_allclose(
+            got[i, : tgt[i]], ref, rtol=1e-5, atol=1e-5, err_msg=f"row {i}"
+        )
+
+
 def test_linear_resize_align_corners(rng):
     x = rng.standard_normal((1, 10, 4)).astype(np.float32)
     got = np.asarray(

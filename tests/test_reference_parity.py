@@ -239,6 +239,73 @@ def test_conformer_parity_vs_vendored_encoder():
     _close(ours, ref_out, rtol=5e-4, atol=5e-4, what="conformer")
 
 
+def test_conformer_parity_padded_buffer_amplified():
+    """Static padded buffers + non-washout weights.
+
+    _randomize_'s 0.55-ish LayerNorm gammas attenuate input deltas 0.38x per
+    block, so the plain parity test above can pass while real signal paths
+    diverge (r4 finding: the depthwise conv leaked pad-frame garbage 15
+    frames into the valid region — invisible at washout scale).  Here norm
+    gammas sit at ~1 and the content sublayers get 2x gain, each row runs at
+    its own exact length on the torch side, and ours runs ONCE on a padded
+    [B, 24] buffer with ``lengths`` — valid frames must match the
+    exact-length reference runs."""
+    import jax.numpy as jnp
+
+    from divise_conformer.encoder import ConformerEncoder as RefConformer
+
+    from multimodalvc_tpu.interop.speech_import import import_torch_conformer
+    from multimodalvc_tpu.nn.conformer import ConformerConfig, ConformerEncoder
+
+    ref = RefConformer(size="S").eval()
+    _randomize_(ref, seed=6)
+    g = torch.Generator().manual_seed(61)
+    sd = ref.state_dict()
+    for k, v in sd.items():
+        if not torch.is_floating_point(v):
+            continue
+        if "norm" in k and k.endswith("weight"):
+            v.copy_(1.0 + 0.02 * torch.randn(v.shape, generator=g))
+        elif k.endswith("weight") and any(
+            s in k for s in ("feed_forward", "conv_module", "linear_v.", "linear_out.")
+        ):
+            v.mul_(2.0)
+        elif k.endswith(("linear_q.weight", "linear_k.weight")):
+            v.mul_(8.0)
+    ref.load_state_dict(sd)
+
+    b, t_buf, d = 2, 24, 144
+    lens = [20, 9]
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((b, t_buf, d)).astype(np.float32)
+    for i, ln in enumerate(lens):
+        x[i, ln:] = 0.0
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = import_torch_conformer(state, num_blocks=3, prefix="encoder.")
+    ours = np.asarray(
+        ConformerEncoder(ConformerConfig.sized("S")).apply(
+            variables, jnp.asarray(x), lengths=jnp.asarray(lens), deterministic=True
+        ),
+        np.float32,
+    )
+    # non-vacuous: without masking, the pad-frame garbage (LN'd biases + pos
+    # encodings) leaks through the k=31 depthwise conv into the valid frames
+    # — the r4 bug this test pins.  The masked run must diverge from it.
+    unmasked = np.asarray(
+        ConformerEncoder(ConformerConfig.sized("S")).apply(
+            variables, jnp.asarray(x), deterministic=True
+        ),
+        np.float32,
+    )
+    assert np.abs(unmasked[1, : lens[1]] - ours[1, : lens[1]]).max() > 1e-2
+
+    for i, ln in enumerate(lens):
+        with torch.no_grad():
+            ref_i = ref(torch.from_numpy(x[i : i + 1, :ln]), masks=None).numpy()
+        _close(ours[i : i + 1, :ln], ref_i, rtol=2e-3, atol=2e-3, what=f"row {i}")
+
+
 # ---------------------------------------------------------------------------
 # HiFi-GAN vs custom_hifigan (generator + discriminators)
 # ---------------------------------------------------------------------------

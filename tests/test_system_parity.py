@@ -167,6 +167,80 @@ def _make_vendored_avhubert():
     return ref
 
 
+def _amplify_(ref, seed=70):
+    """_randomize_'s 0.05-scale weights leave the speech stacks numerically
+    vacuous for a parity test: attention logits sit near zero (uniform
+    attention), and — the dominant effect, found by bisection — _randomize_
+    draws LayerNorm gammas at ~0.55, so every Conformer block's final norm
+    multiplies input deltas by gamma/std ~ 0.38; through 12 blocks a 1e-2
+    input perturbation reaches the mel head at ~1e-7 (measured), i.e. the
+    head is a constant function of its input.  Restore the conformer norm
+    gammas to ~1.0 and give the content sublayers a 2x gain so signal flows
+    (measured: masking a modality now moves the mel by 7e-2, vs 1.5e-7
+    before); boost attention q/k kernels; restore the modality mask
+    embeddings to their natural uniform(0,1) init scale.  Both
+    implementations import the SAME boosted weights, so the parity claim is
+    unaffected."""
+    g = torch.Generator().manual_seed(seed)
+    sd = ref.state_dict()
+    for k, v in sd.items():
+        if not torch.is_floating_point(v):
+            continue
+        if any(
+            k.endswith(s)
+            for s in (
+                ".query.weight", ".key.weight",  # vendored BERT Q-Former
+                ".linear_q.weight", ".linear_k.weight",  # vendored Conformer
+            )
+        ):
+            v.mul_(8.0)
+        elif k in ("audio_mask_emb", "video_mask_emb"):
+            v.copy_(torch.rand(v.shape, generator=g))
+        elif k.startswith("conformer.") and "norm" in k and k.endswith("weight"):
+            v.copy_(1.0 + 0.02 * torch.randn(v.shape, generator=g))
+        elif (
+            k.startswith("conformer.")
+            and k.endswith("weight")
+            and any(
+                s in k
+                for s in (
+                    "feed_forward", "conv_module",
+                    "self_attn.linear_v.weight", "self_attn.linear_out.weight",
+                )
+            )
+        ):
+            v.mul_(2.0)
+    ref.load_state_dict(sd)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _ref_ctor_patches(sr_state):
+    """Patch the two checkpoint-touching ctor paths: BertConfig.from_pretrained
+    ('bert-large-uncased' — no network) and torch.load (the SR-predictor
+    checkpoint at a read-only path, src/model.py:138-144).  MMS_LLaMA binds
+    BertConfig at module import (src/model.py:28) while MMS_Speech_NoLLM
+    resolves it from src.sub_model.Qformer inside __init__, so both
+    namespaces are patched."""
+    import importlib
+
+    src = load_reference_product()
+    mm = src.model
+    qf = importlib.import_module("src.sub_model.Qformer")
+    stub = type(
+        "BertConfigStub", (), {"from_pretrained": staticmethod(lambda name: _tiny_bert_config())}
+    )
+    orig = (mm.BertConfig, qf.BertConfig, torch.load)
+    mm.BertConfig, qf.BertConfig = stub, stub
+    torch.load = lambda *a, **k: sr_state
+    try:
+        yield src
+    finally:
+        mm.BertConfig, qf.BertConfig, torch.load = orig
+
+
 @pytest.fixture(scope="module")
 def reference_system():
     """The reference MMS_LLaMA (src/model.py:85-634) built from tiny-but-real
@@ -207,15 +281,8 @@ def reference_system():
         freeze_finetune_updates=0,
     )
 
-    orig_bert_config, orig_load = mm.BertConfig, torch.load
-    mm.BertConfig = type(
-        "BertConfigStub", (), {"from_pretrained": staticmethod(lambda name: _tiny_bert_config())}
-    )
-    torch.load = lambda *a, **k: sr_state
-    try:
+    with _ref_ctor_patches(sr_state):
         ref = mm.MMS_LLaMA(avhubert, whisper, hf_llama, _StubTokenizer(), cfg).eval()
-    finally:
-        mm.BertConfig, torch.load = orig_bert_config, orig_load
     # randomize the trainables (state_dict() strips frozen params,
     # src/model.py:268-271: qformer + query_tokens + afeat conv + projector +
     # llama); re-export llama AFTER so both sides share the randomized trunk
@@ -390,4 +457,388 @@ def test_avsr_full_forward_parity_vs_reference(reference_system):
             rtol=5e-3,
             atol=2e-3,
             what=f"system logits row {i}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Speech-synthesis family: MMS_LLaMA_Speech / MMS_Speech_NoLLM / _E2E
+# ---------------------------------------------------------------------------
+#
+# Target mel lengths are kept EQUAL across the batch: the reference runs its
+# Conformer with masks=None (src/modelSpeech.py:322), attending to the
+# zero-padded mel frames of shorter rows, while our head masks them
+# (a documented deviation — ours is the correct behavior); with equal target
+# lengths there is no mel padding and the stacks match exactly.  Per-row
+# VARIETY still comes from the query budgets (resize input lengths differ).
+
+AUDIO_SAMPLES = 3200  # -> floor((L + 2*432 - 1024)/160) + 1 = 20 mel frames
+MEL_FRAMES = 20
+
+
+def _speech_cfg_ours(llama_dim_for_projector=None):
+    import dataclasses
+
+    from multimodalvc_tpu.models.speech import SpeechConfig
+    from multimodalvc_tpu.nn.avhubert import AVHubertConfig
+    from multimodalvc_tpu.nn.llama import LlamaConfig
+    from multimodalvc_tpu.nn.whisper import WhisperEncoderConfig
+
+    llama_cfg = LlamaConfig.tiny(vocab_size=VOCAB)
+    llama_cfg.lora = None
+    if llama_dim_for_projector is not None:
+        # NoLLM: no LLM runs, but avfeat_to_llm's output dim is read from
+        # llama.hidden_size; the reference projects to qformer_dim there
+        # (src/modelSpeechNoLLM.py:124-127)
+        llama_cfg = dataclasses.replace(llama_cfg, hidden_size=llama_dim_for_projector)
+    return SpeechConfig(
+        whisper=WhisperEncoderConfig(
+            n_mels=80, d_model=1024, num_layers=2, num_heads=8, ffn_dim=128,
+            max_frames=WHISPER_FRAMES,
+        ),
+        avhubert=AVHubertConfig(
+            encoder_embed_dim=1024, encoder_layers=2, encoder_attention_heads=8,
+            encoder_ffn_dim=128,
+        ),
+        llama=llama_cfg,
+        qformer_layers=2,
+        qformer_dim=QFORMER_DIM,
+        queries_per_sec=QPS,
+        use_sr_predictor=True,
+        sr_predictor_layers=2,
+        max_video_frames=T_V,
+        eos_token_id=2,
+        pad_token_id=PAD_ID,
+        conformer_size="L",  # hardcoded by the reference (src/modelSpeech.py:37)
+        proj_mid_dim=768,
+        head_dim=512,
+        max_mel_frames=32,
+    )
+
+
+def _speech_batch(extra=None):
+    import jax.numpy as jnp
+
+    mel, video, vid_lens, inst, _, _ = _make_inputs()
+    batch = {
+        "audio_feats": jnp.asarray(mel),
+        "video": jnp.asarray(video),
+        "video_lengths": jnp.asarray(vid_lens),
+        "instruction": jnp.asarray(inst.astype(np.int32)),
+        "audio_lengths": jnp.asarray([AUDIO_SAMPLES] * B, np.int32),
+    }
+    if extra:
+        batch.update(extra)
+    return batch, mel, video, vid_lens, inst
+
+
+def _speech_kwargs_ref(mel, video, vid_lens, inst):
+    pad = torch.zeros(B, T_V, dtype=torch.bool)
+    for i in range(B):
+        pad[i, vid_lens[i] :] = True
+    source = {
+        "audio": torch.from_numpy(mel),
+        "video": torch.from_numpy(video.transpose(0, 4, 1, 2, 3)),
+        "instruction": [torch.from_numpy(inst[i]) for i in range(B)],
+        "audio_lengths": torch.full((B,), AUDIO_SAMPLES, dtype=torch.long),
+    }
+    return dict(source=source, padding_mask=pad)
+
+
+def _merge_speech_trainables(params, batch_stats, ref_state):
+    """Merge an import_reference_speech result into our param tree."""
+    from multimodalvc_tpu.interop.avsr_import import merge_subtree
+    from multimodalvc_tpu.interop.speech_import import import_reference_speech
+
+    mapped = import_reference_speech(
+        ref_state, num_qformer_layers=2, conformer_blocks=12
+    )
+    merge_subtree(params["encoder"], mapped["encoder"])
+    merge_subtree(params["head"], mapped["head"])
+    if "head_stats" in mapped:
+        merge_subtree(batch_stats.setdefault("head", {}), mapped["head_stats"])
+    return mapped
+
+
+def _frozen_updates(ref_sys, cfg_ours):
+    """Mapped frozen-component subtrees shared by every model variant."""
+    from multimodalvc_tpu.interop.avsr_import import import_sr_predictor
+    from multimodalvc_tpu.nn.avhubert import import_torch_avhubert
+    from multimodalvc_tpu.nn.whisper import import_hf_whisper_encoder
+
+    whisper = import_hf_whisper_encoder(
+        {k: v.numpy() for k, v in ref_sys["whisper_enc"].state_dict().items()},
+        cfg_ours.whisper,
+    )["params"]
+    av = import_torch_avhubert(
+        {k: v.numpy() for k, v in ref_sys["hub_model"].state_dict().items()},
+        cfg_ours.avhubert,
+    )
+    sr = import_sr_predictor(
+        {f"sr_predictor.{k}": v.numpy() for k, v in ref_sys["donor_sr"].state_dict().items()}
+    )
+    return whisper, av, sr
+
+
+@pytest.mark.slow
+def test_speech_llm_forward_parity_vs_reference(reference_system):
+    """SpeechLLMModel vs MMS_LLaMA_Speech.forward_speech
+    (src/modelSpeech.py:59-333): LLaMA trunk without LM head, per-row
+    query-hidden extraction, proj1 -> per-sample interpolate to
+    floor(samples/160) mel frames -> proj2 -> Conformer-L -> mel head."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalvc_tpu.models.speech import SpeechLLMModel
+    from multimodalvc_tpu.nn.llama import import_hf_llama
+
+    parts = reference_system
+    src = load_reference_product()
+    smm = importlib.import_module("src.sub_model.modules")
+
+    cfg_ref = src.modelSpeech.MMS_LLaMA_Speech_Config(
+        llm_path="unused",
+        whisper_embed_dim=1024,
+        avhubert_embed_dim=1024,
+        llama_embed_dim=64,
+        modality_fuse="concat",
+        use_qformer=True,
+        queries_per_sec=QPS,
+        qformer_layers=2,
+        qformer_dim=QFORMER_DIM,
+        use_sr_predictor=True,
+        sr_predictor_layers=2,
+        freeze_finetune_updates=0,
+    )
+    sr_state = {
+        "model": {
+            f"sr_predictor.{k}": v for k, v in parts["donor_sr"].state_dict().items()
+        }
+    }
+    hf_llama = _make_hf_llama()
+    with _ref_ctor_patches(sr_state):
+        ref = src.modelSpeech.MMS_LLaMA_Speech(
+            importlib.import_module("avhubert.hubert_asr").HubertEncoderWrapper(
+                parts["hub_model"]
+            ),
+            smm.WhisperEncoderWrapper(parts["whisper_enc"]),
+            hf_llama,
+            _StubTokenizer(),
+            cfg_ref,
+        ).eval()
+    _randomize_(ref, seed=40)
+    _amplify_(ref, seed=41)
+
+    batch, mel, video, vid_lens, inst = _speech_batch()
+    with torch.no_grad():
+        ref_out = ref(**_speech_kwargs_ref(mel, video, vid_lens, inst))
+    ref_mel = ref_out["melspec"].float().numpy()
+
+    cfg_ours = _speech_cfg_ours()
+    module = SpeechLLMModel(cfg_ours)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), batch)
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    whisper_p, av_vars, sr_p = _frozen_updates(parts, cfg_ours)
+    params["encoder"]["whisper"] = whisper_p
+    params["encoder"]["avhubert"] = av_vars["params"]
+    batch_stats["encoder"] = {"avhubert": av_vars["batch_stats"]}
+    params["encoder"]["sr_predictor"] = sr_p
+    _merge_speech_trainables(
+        params, batch_stats, {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    params["llama"] = import_hf_llama(
+        {k: v.numpy() for k, v in ref.llama.state_dict().items()}, cfg_ours.llama
+    )["params"]
+
+    out = module.apply({"params": params, "batch_stats": batch_stats}, batch, train=False)
+    our_mel = np.asarray(out["melspec"], np.float32)
+    assert list(np.asarray(out["mel_lengths"])) == [MEL_FRAMES] * B
+    assert ref_mel.shape[1] == MEL_FRAMES
+    for i in range(B):
+        _close(
+            our_mel[i, :MEL_FRAMES],
+            ref_mel[i, :MEL_FRAMES],
+            rtol=5e-3,
+            atol=4e-3,
+            what=f"speech mel row {i}",
+        )
+
+
+def _build_ref_nollm(parts, e2e: bool):
+    import importlib
+
+    src = load_reference_product()
+    cfg_cls = (
+        src.modelSpeechNoLLM_E2E.MMS_Speech_NoLLM_E2E_Config
+        if e2e
+        else src.modelSpeechNoLLM.MMS_Speech_NoLLM_Config
+    )
+    cls = (
+        src.modelSpeechNoLLM_E2E.MMS_Speech_NoLLM_E2E
+        if e2e
+        else src.modelSpeechNoLLM.MMS_Speech_NoLLM
+    )
+    cfg_ref = cfg_cls(
+        llm_path="unused",
+        whisper_embed_dim=1024,
+        avhubert_embed_dim=1024,
+        llama_embed_dim=64,
+        modality_fuse="concat",
+        use_qformer=True,
+        queries_per_sec=QPS,
+        qformer_layers=2,
+        qformer_dim=QFORMER_DIM,
+        use_sr_predictor=True,
+        sr_predictor_layers=2,
+        freeze_finetune_updates=0,
+    )
+    smm = importlib.import_module("src.sub_model.modules")
+    hubert_asr = importlib.import_module("avhubert.hubert_asr")
+    sr_state = {
+        "model": {
+            f"sr_predictor.{k}": v for k, v in parts["donor_sr"].state_dict().items()
+        }
+    }
+    with _ref_ctor_patches(sr_state):
+        ref = cls(
+            hubert_asr.HubertEncoderWrapper(parts["hub_model"]),
+            smm.WhisperEncoderWrapper(parts["whisper_enc"]),
+            cfg_ref,
+        ).eval()
+    _randomize_(ref, seed=60 if e2e else 50)
+    _amplify_(ref, seed=61 if e2e else 51)
+    return ref
+
+
+@pytest.mark.slow
+def test_speech_nollm_forward_parity_vs_reference(reference_system):
+    """SpeechNoLLMModel vs MMS_Speech_NoLLM.forward_speech
+    (src/modelSpeechNoLLM.py:253-491) in the 'av' mode and in a FORCED
+    video_only mode (learned audio mask embedding replaces the whisper
+    stream, :312-322)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalvc_tpu.models.speech import SpeechNoLLMModel
+
+    parts = reference_system
+    ref = _build_ref_nollm(parts, e2e=False)
+
+    cfg_ours = _speech_cfg_ours(llama_dim_for_projector=QFORMER_DIM)
+    cfg_ours.modality_dropout = True
+    batch, mel, video, vid_lens, inst = _speech_batch()
+    module = SpeechNoLLMModel(cfg_ours)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), batch)
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    whisper_p, av_vars, sr_p = _frozen_updates(parts, cfg_ours)
+    params["encoder"]["whisper"] = whisper_p
+    params["encoder"]["avhubert"] = av_vars["params"]
+    batch_stats["encoder"] = {"avhubert": av_vars["batch_stats"]}
+    params["encoder"]["sr_predictor"] = sr_p
+    _merge_speech_trainables(
+        params, batch_stats, {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    vars_ours = {"params": params, "batch_stats": batch_stats}
+
+    kwargs = _speech_kwargs_ref(mel, video, vid_lens, inst)
+    with torch.no_grad():
+        ref_mel = ref(**kwargs)["melspec"].float().numpy()
+    our_mel = np.asarray(module.apply(vars_ours, batch, train=False)["melspec"], np.float32)
+    # the comparison must be non-vacuous: the mel must actually vary in time
+    assert float(ref_mel[0].std(axis=0).mean()) > 1e-3, "constant-in-time mel"
+    for i in range(B):
+        _close(
+            our_mel[i, :MEL_FRAMES], ref_mel[i, :MEL_FRAMES],
+            rtol=5e-3, atol=4e-3, what=f"nollm mel row {i}",
+        )
+
+    # forced video_only: flip ONLY the reference's top-level training flag so
+    # the modality branch runs while every submodule stays in eval, and pin
+    # random.choices to 'video_only'
+    import random as _random
+
+    orig_choices = _random.choices
+    _random.choices = lambda *a, **k: ["video_only"]
+    ref.training = True
+    try:
+        with torch.no_grad():
+            ref_mel_v = ref(**kwargs)["melspec"].float().numpy()
+    finally:
+        ref.training = False
+        _random.choices = orig_choices
+    batch_v = dict(batch)
+    batch_v["modality_mode"] = jnp.asarray(1, jnp.int32)
+    our_mel_v = np.asarray(
+        module.apply(vars_ours, batch_v, train=False)["melspec"], np.float32
+    )
+    assert np.abs(ref_mel_v - ref_mel).max() > 1e-3  # the mode must matter (ref)
+    assert np.abs(our_mel_v - our_mel).max() > 1e-3  # the mode must matter (ours)
+    for i in range(B):
+        _close(
+            our_mel_v[i, :MEL_FRAMES], ref_mel_v[i, :MEL_FRAMES],
+            rtol=5e-3, atol=4e-3, what=f"nollm video_only mel row {i}",
+        )
+
+
+@pytest.mark.slow
+def test_speech_e2e_waveform_parity_vs_reference(reference_system):
+    """SpeechE2EModel vs MMS_Speech_NoLLM_E2E.forward_speech
+    (src/modelSpeechNoLLM_E2E.py:257-410): the NoLLM trunk up to
+    conformer+ln3 routed through the weight-normed conv_pre adapter and the
+    HiFi-GAN upsampling chain (vocoder_forward, :229-255)."""
+    import jax
+
+    from multimodalvc_tpu.interop.avsr_import import merge_subtree
+    from multimodalvc_tpu.interop.speech_import import import_reference_speech
+    from multimodalvc_tpu.models.speech import SpeechE2EModel
+    from multimodalvc_tpu.nn.hifigan import HifiGanConfig
+
+    parts = reference_system
+    ref = _build_ref_nollm(parts, e2e=True)
+
+    cfg_ours = _speech_cfg_ours(llama_dim_for_projector=QFORMER_DIM)
+    cfg_ours.modality_dropout = True
+    batch, mel, video, vid_lens, inst = _speech_batch()
+    module = SpeechE2EModel(cfg_ours, vocoder=HifiGanConfig())
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), batch)
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    whisper_p, av_vars, sr_p = _frozen_updates(parts, cfg_ours)
+    trunk = params["trunk"]
+    trunk["encoder"]["whisper"] = whisper_p
+    trunk["encoder"]["avhubert"] = av_vars["params"]
+    batch_stats.setdefault("trunk", {})["encoder"] = {"avhubert": av_vars["batch_stats"]}
+    trunk["encoder"]["sr_predictor"] = sr_p
+    # the E2E model's state_dict strips the FROZEN NoLLM trunk (it trains
+    # only the vocoder pieces — src/modelSpeechNoLLM_E2E.py logs 15.7M
+    # trainable of 210M); pull the full tree from named_parameters+buffers
+    ref_state = {
+        k: v.detach().numpy()
+        for k, v in list(ref.named_parameters()) + list(ref.named_buffers())
+    }
+    gen_cfg = HifiGanConfig(in_channels=cfg_ours.head_dim)
+    mapped = import_reference_speech(
+        ref_state, num_qformer_layers=2, conformer_blocks=12, generator_cfg=gen_cfg
+    )
+    merge_subtree(trunk["encoder"], mapped["encoder"])
+    merge_subtree(trunk["head"], mapped["head"])
+    merge_subtree(
+        batch_stats["trunk"].setdefault("head", {}), mapped.get("head_stats", {})
+    )
+    merge_subtree(params["generator"], mapped["generator"])
+
+    kwargs = _speech_kwargs_ref(mel, video, vid_lens, inst)
+    with torch.no_grad():
+        ref_wav = ref(**kwargs)["waveform"].float().numpy()  # [B, 1, T]
+    out = module.apply({"params": params, "batch_stats": batch_stats}, batch, train=False)
+    our_wav = np.asarray(out["waveform"], np.float32)  # [B, T, 1]
+    t = MEL_FRAMES * 160
+    assert ref_wav.shape[-1] == t
+    for i in range(B):
+        _close(
+            our_wav[i, :t, 0], ref_wav[i, 0, :t],
+            rtol=1e-3, atol=5e-4, what=f"e2e waveform row {i}",
         )
