@@ -316,6 +316,41 @@ class AVSRModel(nn.Module):
         return self.build_prompt(queries, query_lens, batch, True)
 
 
+def merge_token_rows(rows, eos_token_id: int, pad_token_id: int):
+    """Stitch per-chunk transcripts into one token row (whisper-style).
+
+    Each row is cleaned (truncated at EOS, pad dropped), then consecutive
+    rows are joined with the LONGEST exact suffix/prefix token overlap
+    removed — the token-level analog of whisper's overlapped-window
+    transcript merging.  Rows with no overlap concatenate unchanged.
+    Capability the reference lacks (clips are capped at 500 frames,
+    src/conf/mms-llama.yaml:38).
+    """
+    import numpy as np_
+
+    def clean(row):
+        out = []
+        for t in row:
+            t = int(t)
+            if t == eos_token_id:
+                break
+            if t != pad_token_id:
+                out.append(t)
+        return out
+
+    rows = list(rows)
+    merged = clean(rows[0]) if rows else []
+    for row in rows[1:]:
+        nxt = clean(row)
+        k = 0
+        for cand in range(min(len(merged), len(nxt)), 0, -1):
+            if merged[len(merged) - cand :] == nxt[:cand]:
+                k = cand
+                break
+        merged.extend(nxt[k:])
+    return np_.asarray(merged, np_.int32)
+
+
 @register_model("mms_llama_avsr", config=AVSRConfig)
 class AVSRSystem:
     """Bundles the module with generation (HF-generate-equivalent decode)."""
@@ -502,6 +537,7 @@ class AVSRSystem:
         batch,
         chunk_frames: int = 400,
         overlap_frames: int = 0,
+        merge: bool = True,
         **gen_kwargs,
     ):
         """Chunked long-form transcription.
@@ -509,10 +545,20 @@ class AVSRSystem:
         The reference caps clips at 20 s (max_sample_size 500,
         src/conf/mms-llama.yaml:38) and cannot decode longer inputs; here
         arbitrary-length clips are decoded by sliding a chunk window over
-        the video (audio features follow at 2 frames per video frame via
-        the whisper 100 Hz alignment) and decoding each window with the
-        cached single-chunk program.  Returns a list (per sample) of lists
-        of per-chunk token rows (best beam).
+        the video (audio features follow at 4 mel frames per 25 Hz video
+        frame via the whisper 100 Hz alignment) and decoding each window
+        with the cached single-chunk program.
+
+        ``batch["audio_feats"]`` must be the FULL-CLIP mel features
+        ([B, 80, >= 4 * video_frames]); compute them host-side with
+        data/audio.py's whisper mel pipeline over the whole waveform — a
+        single fixed 30 s whisper window would starve every later chunk.
+
+        With ``merge`` (default), consecutive chunk transcripts are stitched
+        whisper-style — pad/EOS stripped, then the longest exact
+        suffix/prefix token overlap between neighbours is deduplicated
+        (``merge_token_rows``) — returning ONE token row per sample.
+        ``merge=False`` returns the raw per-chunk rows.
         """
         import numpy as np_
 
@@ -522,8 +568,15 @@ class AVSRSystem:
         stride = chunk_frames - overlap_frames
         if stride <= 0:
             raise ValueError("overlap must be smaller than the chunk")
-        texts = [[] for _ in range(b)]
         audio_feats = batch["audio_feats"]
+        if t_total > chunk_frames and audio_feats.shape[-1] < 4 * int(max(lengths)):
+            raise ValueError(
+                f"audio_feats covers {audio_feats.shape[-1]} mel frames but the "
+                f"clip spans {int(max(lengths))} video frames (= "
+                f"{4 * int(max(lengths))} mel frames at 100 Hz); pass full-clip "
+                "mel features, not a single 30 s whisper window"
+            )
+        texts = [[] for _ in range(b)]
         for start in range(0, max(t_total - overlap_frames, 1), stride):
             end = min(start + chunk_frames, t_total)
             if end <= start:
@@ -550,4 +603,9 @@ class AVSRSystem:
             for i in range(b):
                 if chunk_lens[i] > 0:
                     texts[i].append(best[i])
-        return texts
+        if not merge:
+            return texts
+        return [
+            merge_token_rows(rows, self.cfg.eos_token_id, self.cfg.pad_token_id)
+            for rows in texts
+        ]

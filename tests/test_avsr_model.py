@@ -129,10 +129,55 @@ def test_generate_long_form_chunks(rng):
     }
     texts = system.generate_long_form(
         variables, long_batch, chunk_frames=cfg.max_video_frames,
-        num_beams=2, max_new_tokens=4,
+        num_beams=2, max_new_tokens=4, merge=False,
     )
     assert len(texts) == 2
     assert len(texts[0]) == 3  # full-length sample: 3 chunks
     assert len(texts[1]) == 1  # short sample: only the first chunk valid
     for row in texts[0]:
         assert row.shape == (4,)
+
+    # merged (default): ONE 1-D token row per sample, pad/eos stripped, with
+    # the longest suffix/prefix overlap between neighbours deduplicated
+    merged = system.generate_long_form(
+        variables, long_batch, chunk_frames=cfg.max_video_frames,
+        overlap_frames=cfg.max_video_frames // 4, num_beams=2, max_new_tokens=4,
+    )
+    assert len(merged) == 2
+    for row in merged:
+        assert row.ndim == 1
+        assert cfg.pad_token_id not in row.tolist()
+        assert cfg.eos_token_id not in row.tolist()
+
+    # full-clip mels are REQUIRED: a single 30 s window must be rejected
+    bad = dict(long_batch)
+    bad["audio_feats"] = long_batch["audio_feats"][..., : long_batch["audio_feats"].shape[-1] // 3]
+    with pytest.raises(ValueError, match="full-clip"):
+        system.generate_long_form(
+            variables, bad, chunk_frames=cfg.max_video_frames, num_beams=2, max_new_tokens=4
+        )
+
+
+def test_merge_token_rows():
+    from multimodalvc_tpu.models.avsr import merge_token_rows
+
+    eos, pad = 2, 0
+    # longest suffix/prefix overlap wins: [7 8 9] + [8 9 4] -> [7 8 9 4]
+    rows = [np.asarray([7, 8, 9, eos, pad]), np.asarray([8, 9, 4, eos, pad])]
+    np.testing.assert_array_equal(merge_token_rows(rows, eos, pad), [7, 8, 9, 4])
+    # no overlap: plain concatenation
+    rows = [np.asarray([7, 8]), np.asarray([5, 6])]
+    np.testing.assert_array_equal(merge_token_rows(rows, eos, pad), [7, 8, 5, 6])
+    # full containment of the repeated window across three chunks
+    rows = [
+        np.asarray([1, 9, 3, 4]),
+        np.asarray([3, 4, 5, 6]),
+        np.asarray([5, 6, 7, eos]),
+    ]
+    np.testing.assert_array_equal(
+        merge_token_rows(rows, eos, pad), [1, 9, 3, 4, 5, 6, 7]
+    )
+    # everything after EOS (garbage lanes) is dropped before merging
+    rows = [np.asarray([1, 4, eos, 9, 9]), np.asarray([4, 3, eos, 8])]
+    np.testing.assert_array_equal(merge_token_rows(rows, eos, pad), [1, 4, 3])
+    assert merge_token_rows([], eos, pad).shape == (0,)
