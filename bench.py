@@ -123,6 +123,20 @@ def _train_bench(args, cfg, system, variables, batch, rng):
     wall = min(times)
     utt_s = cfg.max_video_frames / 25.0
     rtf = tb * utt_s / wall
+
+    # achieved model FLOP/s and %-of-peak (MFU) from XLA's own cost model of
+    # the compiled step (fwd+bwd+AdamW); v5e bf16 peak is 197 TFLOP/s
+    tflops_s = mfu_pct = None
+    try:
+        ca = trainer._train_step.lower(trainer.state, tbatch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+        if flops > 0:
+            tflops_s = flops / wall / 1e12
+            mfu_pct = 100.0 * tflops_s / 197.0
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -144,6 +158,12 @@ def _train_bench(args, cfg, system, variables, batch, rng):
                     "compile_s": round(compile_s, 1),
                     "loss0": round(first_loss, 4),
                     "backend": jax.default_backend(),
+                    "achieved_tflops_per_s": (
+                        round(tflops_s, 1) if tflops_s is not None else None
+                    ),
+                    "mfu_pct_of_v5e_bf16_peak": (
+                        round(mfu_pct, 1) if mfu_pct is not None else None
+                    ),
                 }
             }
         ),
@@ -182,6 +202,12 @@ def main():
     parser.add_argument(
         "--breakdown", action="store_true",
         help="also time encoders+prompt-assembly and prefill+decode separately",
+    )
+    parser.add_argument(
+        "--ancestry", action="store_true",
+        help="A/B: decode with ancestry-select gen attention (never reorders "
+        "the gen-KV cache; ops/decode_attention.py) instead of the Pallas "
+        "beam gather",
     )
     parser.add_argument(
         "--train", action="store_true",
@@ -376,6 +402,7 @@ def main():
             num_beams=args.beams,
             max_new_tokens=args.new_tokens,
             cache_dtype=jnp.bfloat16,
+            ancestry_reorder=args.ancestry,
         )
         return seqs
 

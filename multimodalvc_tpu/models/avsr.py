@@ -480,12 +480,15 @@ class AVSRSystem:
         length_penalty: float = 1.0,
         no_repeat_ngram_size: int = 0,
         cache_dtype=jnp.bfloat16,
+        ancestry_reorder: bool = False,
     ):
         """Beam-search transcription (reference: src/model.py:371-487).
 
         The entire pipeline — encoders, prompt assembly, prefill, and the
         while-loop decode — jits into ONE XLA program (cached per decode
         config), so a transcription is a single device dispatch.
+        ``ancestry_reorder`` switches the beam reorder to the zero-traffic
+        ancestry-select decode attention (ops/decode_attention.py).
         """
         key = (
             num_beams,
@@ -495,6 +498,7 @@ class AVSRSystem:
             jnp.dtype(cache_dtype).name,
             self.cfg.eos_token_id,
             self.cfg.pad_token_id,
+            ancestry_reorder,
         )
         if key not in self._gen_cache:
 
@@ -526,6 +530,7 @@ class AVSRSystem:
                     length_penalty=length_penalty,
                     no_repeat_ngram_size=no_repeat_ngram_size,
                     cache_dtype=cache_dtype,
+                    ancestry_reorder=ancestry_reorder,
                 )
 
             self._gen_cache[key] = jax.jit(_gen)

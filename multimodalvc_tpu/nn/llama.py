@@ -283,6 +283,73 @@ class LlamaAttention(nn.Module):
 
         new_cache = None
         rep = h // hkv
+        if cache is not None and "anc" in cache:
+            # ancestry split cache: the gen segment is NEVER physically
+            # reordered (saves the full read+write of ~1.8 GB/step plus the
+            # while-loop carry copy-back of the gathered pallas outputs, r3
+            # measurement); anc [B*K, L] maps each (row, slot) to the beam
+            # row of the same batch element holding that slot's true KV and
+            # the selection happens inside ops/decode_attention.py in VMEM.
+            from ..ops.decode_attention import (
+                gen_attention_ancestor,
+                gen_attention_ancestor_ref,
+                merge_softmax_segments,
+            )
+
+            assert t == 1, "ancestry decode is a single-token path"
+            idx = cache["index"]
+            k_sl = k.transpose(0, 2, 1, 3)  # [B*K, 1, hkv, d]
+            v_sl = v.transpose(0, 2, 1, 3)
+            ck = jax.lax.dynamic_update_slice(
+                cache["fixed_k"], k_sl.astype(cache["fixed_k"].dtype), (0, idx, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache["fixed_v"], v_sl.astype(cache["fixed_v"].dtype), (0, idx, 0, 0)
+            )
+            pk, pv = cache["prompt_k"], cache["prompt_v"]  # [B, hkv, Tp, d]
+            nb, tp = pk.shape[0], pk.shape[2]
+            kbeams = b // nb
+            row_ids = (jnp.arange(b, dtype=jnp.int32) % kbeams)[:, None]
+            anc = jax.lax.dynamic_update_slice(cache["anc"], row_ids, (0, idx))
+            new_cache = {
+                **cache, "fixed_k": ck, "fixed_v": cv, "anc": anc, "index": idx + t
+            }
+            scale = 1.0 / math.sqrt(hd)
+            # prompt segment partials (shared KV at batch nb, as before)
+            q_r = q.reshape(nb, kbeams, hkv, rep, t, hd)
+            s_p = jnp.einsum(
+                "bkgrtd,bgpd->bkgrtp", q_r, pk.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            pmask = cache["prompt_mask"].astype(bool)
+            s_p = jnp.where(pmask[:, None, None, None, None, :], s_p, -1e30)
+            s_p = s_p.reshape(b, h, tp)  # t == 1 squeezed
+            m_p = jnp.max(s_p, axis=-1)
+            p_p = jnp.exp(s_p - m_p[..., None])
+            l_p = jnp.sum(p_p, axis=-1)
+            out_p = jnp.einsum(
+                "bkgrp,bgpd->bkgrd",
+                p_p.reshape(nb, kbeams, hkv, rep, tp).astype(self.dtype),
+                pv.astype(self.dtype),
+            ).reshape(b, h, hd).astype(jnp.float32)
+            # gen segment partials with in-kernel ancestry selection
+            q_flat = q[:, :, 0, :]  # [B*K, h, d]
+            gen_fn = (
+                gen_attention_ancestor
+                if jax.default_backend() == "tpu"
+                else gen_attention_ancestor_ref
+            )
+            out_g, m_g, l_g = gen_fn(
+                q_flat.astype(self.dtype), ck, cv, anc, idx + 1,
+                beams=kbeams, scale=scale,
+            )
+            out = merge_softmax_segments(out_p, m_p, l_p, out_g, m_g, l_g)
+            out = out.astype(self.dtype).reshape(b, t, h * hd)
+            out = LoraDense(
+                cfg.hidden_size, lora=in_lora("o_proj"), dtype=self.dtype,
+                quant=cfg.weight_quant, name="o_proj"
+            )(out, deterministic)
+            return out, new_cache
         if cache is not None and "prompt_k" in cache:
             # split cache: the prompt KV is SHARED across beams ([B, ...])
             # while generated KV is per-beam — beam decode never re-reads K
@@ -594,6 +661,7 @@ def generate_beam(
     no_repeat_ngram_size: int = 0,
     cache_dtype=jnp.bfloat16,
     share_prompt_kv: bool = True,
+    ancestry_reorder: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HF-generate-equivalent beam search over embedded prompts.
 
@@ -658,17 +726,34 @@ def generate_beam(
             cfg_m = model.cfg
             # slots-second layout: see the split-cache note in LlamaAttention
             gen_shape = (b * k, max_new_tokens, cfg_m.num_kv_heads, cfg_m.head_dim)
-            cache_k = tuple(
-                {
-                    "prompt_k": c["k"],
-                    "prompt_v": c["v"],
-                    "prompt_mask": attn_mask,
-                    "k": jnp.zeros(gen_shape, cache_dtype),
-                    "v": jnp.zeros(gen_shape, cache_dtype),
-                    "index": jnp.zeros((), jnp.int32),
-                }
-                for c in out["cache"]
-            )
+            if ancestry_reorder:
+                # fixed_* leaves are skipped by the beam gather; the tiny anc
+                # map is what gets reordered instead (see LlamaAttention's
+                # ancestry branch / ops/decode_attention.py)
+                cache_k = tuple(
+                    {
+                        "prompt_k": c["k"],
+                        "prompt_v": c["v"],
+                        "prompt_mask": attn_mask,
+                        "fixed_k": jnp.zeros(gen_shape, cache_dtype),
+                        "fixed_v": jnp.zeros(gen_shape, cache_dtype),
+                        "anc": jnp.zeros((b * k, max_new_tokens), jnp.int32),
+                        "index": jnp.zeros((), jnp.int32),
+                    }
+                    for c in out["cache"]
+                )
+            else:
+                cache_k = tuple(
+                    {
+                        "prompt_k": c["k"],
+                        "prompt_v": c["v"],
+                        "prompt_mask": attn_mask,
+                        "k": jnp.zeros(gen_shape, cache_dtype),
+                        "v": jnp.zeros(gen_shape, cache_dtype),
+                        "index": jnp.zeros((), jnp.int32),
+                    }
+                    for c in out["cache"]
+                )
 
             def decode_fn(tokens, positions, cache):
                 o = model.apply(

@@ -58,9 +58,9 @@ def _gather_beams(tree, indices, b, k):
     2.3x its HBM roofline)."""
     onehot = None
 
-    def gather(x):
+    def gather(x, skip=False):
         nonlocal onehot
-        if x.ndim == 0 or x.shape[0] != b * k:
+        if skip or x.ndim == 0 or x.shape[0] != b * k:
             return x  # scalar leaves (e.g. cache write index) are beam-invariant
         if (
             x.ndim >= 3
@@ -93,7 +93,16 @@ def _gather_beams(tree, indices, b, k):
         )
         return _flatten_beam(out)
 
-    return jax.tree.map(gather, tree)
+    def gather_path(path, x):
+        # 'fixed_*' cache leaves opt out of the reorder: the ancestry decode
+        # cache (nn/llama.py split-cache anc branch) never moves its gen KV —
+        # only the small 'anc' map is gathered
+        skip = any(
+            str(getattr(p, "key", "")).startswith("fixed_") for p in path
+        )
+        return gather(x, skip=skip)
+
+    return jax.tree_util.tree_map_with_path(gather_path, tree)
 
 
 def apply_ngram_block(

@@ -1,0 +1,187 @@
+"""Gen-segment decode attention with in-kernel beam-ancestry selection.
+
+Eliminates the per-step beam reorder of the generated KV cache.  The r3
+design physically gathered the 56 gen-KV leaves every decode step
+(ops/beam_gather.py) — one full read + write of ~1.8 GB at batch 48 —
+plus XLA's unavoidable copy of the fresh pallas outputs back into the
+while-loop carry (~271 ms per 64-step decode, r3 measurement).  Here the
+cache is NEVER reordered: each row appends its own step-KV at its own
+slot, and a tiny ancestry map ``anc [B*K, L]`` records, per (row, slot),
+WHICH beam row of the same batch element holds that slot's true KV.  The
+attention kernel loads all K rows of a batch element into VMEM anyway
+(they share the HBM tiles), computes q·k against all K sources, and
+selects by ancestry with a one-hot reduce in registers — so the
+"reorder" costs zero HBM traffic.  Only the [B*K, L] int32 map is
+gathered per step (~60 KB vs ~1.8 GB).
+
+Reference analog being replaced: fairseq SequenceGenerator's
+reorder_incremental_state / HF generate's _reorder_cache.
+
+The kernel emits softmax PARTIALS (weighted-V accumulator, row max,
+normalizer) so the caller merges them with the shared-prompt segment's
+partials — flash-attention's standard two-segment combine.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(
+    q_ref,  # [K, h, d]
+    k_ref,  # [K, L, g, d]
+    v_ref,  # [K, L, g, d]
+    anc_ref,  # [K, L] int32
+    len_ref,  # [1, 1] int32 (SMEM): valid slots
+    out_ref,  # [K, h, d] f32
+    m_ref,  # [K, h] f32
+    l_ref,  # [K, h] f32
+    *,
+    beams: int,
+    heads: int,
+    groups: int,
+    head_dim: int,
+    slots: int,
+    scale: float,
+):
+    kq = beams
+    rep = heads // groups
+    q = q_ref[...].astype(jnp.float32)  # [K, h, d]
+    k = k_ref[...].astype(jnp.float32)  # [K, L, g, d]
+    v = v_ref[...].astype(jnp.float32)
+    anc = anc_ref[...]  # [K, L]
+    valid = len_ref[0, 0]
+
+    # scores vs ALL K source rows: [Kq, Ks, g, rep, L]
+    qg = q.reshape(kq, groups, rep, head_dim)
+    s = jnp.einsum("qgrd,slgd->qsgrl", qg, k, preferred_element_type=jnp.float32)
+    s = s * scale
+
+    # ancestry one-hot select over the source axis + validity mask
+    onehot = (
+        anc[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (1, beams, 1), 1)
+    )  # [Kq, Ks, L]
+    slot_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1) < valid
+    )  # [1, L]
+    sel = jnp.sum(
+        jnp.where(onehot[:, :, None, None, :], s, 0.0), axis=1
+    )  # [Kq, g, rep, L]
+    sel = jnp.where(slot_ok[0][None, None, None, :], sel, NEG)
+
+    m = jnp.max(sel, axis=-1)  # [Kq, g, rep]
+    p = jnp.exp(sel - m[..., None])  # [Kq, g, rep, L]
+    p = jnp.where(slot_ok[0][None, None, None, :], p, 0.0)
+    lsum = jnp.sum(p, axis=-1)  # [Kq, g, rep]
+
+    # v select: [Kq, L, g, d]
+    v_sel = jnp.sum(
+        jnp.where(onehot[:, :, None, None, :].transpose(0, 1, 4, 2, 3), v[None], 0.0),
+        axis=1,
+    )
+    out = jnp.einsum(
+        "qgrl,qlgd->qgrd", p, v_sel, preferred_element_type=jnp.float32
+    )  # [Kq, g, rep, d]
+
+    out_ref[...] = out.reshape(kq, heads, head_dim)
+    m_ref[...] = m.reshape(kq, heads)
+    l_ref[...] = lsum.reshape(kq, heads)
+
+
+def gen_attention_ancestor(
+    q: jnp.ndarray,  # [B*K, h, d]
+    gen_k: jnp.ndarray,  # [B*K, L, g, d]
+    gen_v: jnp.ndarray,  # [B*K, L, g, d]
+    anc: jnp.ndarray,  # [B*K, L] int32 (values 0..K-1, within-batch rows)
+    valid_len: jnp.ndarray,  # scalar int32
+    *,
+    beams: int,
+    scale: float,
+    interpret=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Softmax partials (out, m, l) of the ancestry-selected gen segment.
+
+    out = sum_l exp(s_l - m) * v_(anc_l, l), m = max_l s_l, l = sum exp(...)
+    with s_l = scale * q . k_(anc_l, l) for slots l < valid_len.  Rows with
+    valid_len == 0 return (0, NEG, 0) and merge as a no-op segment.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows, h, d = q.shape
+    _, slots, g, _ = gen_k.shape
+    b = rows // beams
+    kern = functools.partial(
+        _kernel, beams=beams, heads=h, groups=g, head_dim=d, slots=slots,
+        scale=scale,
+    )
+    out, m, l = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((beams, slots), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((beams, h), lambda i: (i, 0)),
+            pl.BlockSpec((beams, h), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((rows, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, gen_k, gen_v, anc, valid_len.reshape(1, 1).astype(jnp.int32))
+    return out, m, l
+
+
+def gen_attention_ancestor_ref(q, gen_k, gen_v, anc, valid_len, *, beams, scale):
+    """Pure-jnp oracle with identical semantics (tests + CPU fallback)."""
+    rows, h, d = q.shape
+    _, slots, g, _ = gen_k.shape
+    b = rows // beams
+    rep = h // g
+    qb = q.reshape(b, beams, g, rep, d).astype(jnp.float32)
+    kb = gen_k.reshape(b, beams, slots, g, d).astype(jnp.float32)
+    vb = gen_v.reshape(b, beams, slots, g, d).astype(jnp.float32)
+    ab = anc.reshape(b, beams, slots)
+    s = jnp.einsum("bqgrd,bslgd->bqsgrl", qb, kb) * scale
+    onehot = ab[:, :, None, :] == jnp.arange(beams)[None, None, :, None]
+    sel = jnp.sum(jnp.where(onehot[:, :, :, None, None, :], s, 0.0), axis=2)
+    ok = jnp.arange(slots) < valid_len
+    sel = jnp.where(ok[None, None, None, None, :], sel, NEG)
+    m = jnp.max(sel, axis=-1)
+    p = jnp.where(ok[None, None, None, None, :], jnp.exp(sel - m[..., None]), 0.0)
+    lsum = jnp.sum(p, axis=-1)
+    v_sel = jnp.sum(
+        jnp.where(onehot[:, :, :, :, None, None], vb[:, None], 0.0), axis=2
+    )  # [b, Kq, L, g, d]
+    out = jnp.einsum("bqgrl,bqlgd->bqgrd", p, v_sel)
+    return (
+        out.reshape(rows, h, d),
+        m.reshape(rows, h),
+        lsum.reshape(rows, h),
+    )
+
+
+def merge_softmax_segments(out_a, m_a, l_a, out_b, m_b, l_b):
+    """Combine two segments' (weighted-V, max, normalizer) partials into the
+    final attention output — the flash-attention two-block merge."""
+    m = jnp.maximum(m_a, m_b)
+    ca = jnp.exp(m_a - m)[..., None]
+    cb = jnp.exp(m_b - m)[..., None]
+    num = out_a * ca + out_b * cb
+    den = (l_a * jnp.exp(m_a - m) + l_b * jnp.exp(m_b - m))[..., None]
+    return num / jnp.maximum(den, 1e-30)

@@ -403,3 +403,26 @@ def test_finalize_live_beats_early_eos():
     # early-EOS hypothesis: [2] with score log(0.3)/1 = -1.20
     assert best.tolist() == [3] * L, best
     assert np.asarray(scores)[0, 0] > np.log(0.3) + 1e-3
+
+
+def test_ancestry_reorder_matches_default(pair, rng):
+    """ancestry_reorder=True (gen-KV never moves; in-kernel ancestry select,
+    ops/decode_attention.py) must pick the same sequences as the default
+    physically-reordered split cache, with close scores."""
+    _, model, variables = pair
+    emb = (rng.standard_normal((2, 7, 64)) * 0.05).astype(np.float32)
+    mask = np.ones((2, 7), dtype=np.int64)
+    mask[1, :3] = 0
+    kw = dict(eos_token_id=EOS, pad_token_id=PAD, num_beams=3,
+              max_new_tokens=8, cache_dtype=jnp.float32)
+    seqs1, scores1 = generate_beam(
+        model, variables, jnp.asarray(emb), jnp.asarray(mask), **kw
+    )
+    seqs2, scores2 = generate_beam(
+        model, variables, jnp.asarray(emb), jnp.asarray(mask),
+        ancestry_reorder=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(seqs1), np.asarray(seqs2))
+    np.testing.assert_allclose(
+        np.asarray(scores1), np.asarray(scores2), rtol=1e-4, atol=1e-5
+    )
