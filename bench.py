@@ -210,6 +210,10 @@ def main():
         "beam gather",
     )
     parser.add_argument(
+        "--kv-quant", choices=["int8"], default=None,
+        help="int8 KV cache (prompt + gen, VMEM dequant); implies --ancestry",
+    )
+    parser.add_argument(
         "--train", action="store_true",
         help="benchmark the TRAINING step (fwd+bwd+AdamW on the trainable "
         "subset, frozen encoders/LLM like the reference recipe) instead of "
@@ -402,7 +406,8 @@ def main():
             num_beams=args.beams,
             max_new_tokens=args.new_tokens,
             cache_dtype=jnp.bfloat16,
-            ancestry_reorder=args.ancestry,
+            ancestry_reorder=args.ancestry or bool(args.kv_quant),
+            kv_quant=args.kv_quant,
         )
         return seqs
 

@@ -481,6 +481,7 @@ class AVSRSystem:
         no_repeat_ngram_size: int = 0,
         cache_dtype=jnp.bfloat16,
         ancestry_reorder: bool = False,
+        kv_quant: Optional[str] = None,
     ):
         """Beam-search transcription (reference: src/model.py:371-487).
 
@@ -499,6 +500,7 @@ class AVSRSystem:
             self.cfg.eos_token_id,
             self.cfg.pad_token_id,
             ancestry_reorder,
+            kv_quant,
         )
         if key not in self._gen_cache:
 
@@ -531,6 +533,7 @@ class AVSRSystem:
                     no_repeat_ngram_size=no_repeat_ngram_size,
                     cache_dtype=cache_dtype,
                     ancestry_reorder=ancestry_reorder,
+                    kv_quant=kv_quant,
                 )
 
             self._gen_cache[key] = jax.jit(_gen)

@@ -294,12 +294,26 @@ class LlamaAttention(nn.Module):
                 gen_attention_ancestor,
                 gen_attention_ancestor_ref,
                 merge_softmax_segments,
+                prompt_attention,
+                prompt_attention_ref,
+                quantize_kv,
             )
 
             assert t == 1, "ancestry decode is a single-token path"
+            on_tpu = jax.default_backend() == "tpu"
+            kv_q = cache["fixed_k"].dtype == jnp.int8
             idx = cache["index"]
             k_sl = k.transpose(0, 2, 1, 3)  # [B*K, 1, hkv, d]
             v_sl = v.transpose(0, 2, 1, 3)
+            if kv_q:
+                k_sl, k_sc = quantize_kv(k_sl)  # scales [B*K, 1, hkv]
+                v_sl, v_sc = quantize_kv(v_sl)
+                cks = jax.lax.dynamic_update_slice(
+                    cache["fixed_ks"], k_sc, (0, idx, 0)
+                )
+                cvs = jax.lax.dynamic_update_slice(
+                    cache["fixed_vs"], v_sc, (0, idx, 0)
+                )
             ck = jax.lax.dynamic_update_slice(
                 cache["fixed_k"], k_sl.astype(cache["fixed_k"].dtype), (0, idx, 0, 0)
             )
@@ -314,34 +328,43 @@ class LlamaAttention(nn.Module):
             new_cache = {
                 **cache, "fixed_k": ck, "fixed_v": cv, "anc": anc, "index": idx + t
             }
+            if kv_q:
+                new_cache["fixed_ks"], new_cache["fixed_vs"] = cks, cvs
             scale = 1.0 / math.sqrt(hd)
-            # prompt segment partials (shared KV at batch nb, as before)
-            q_r = q.reshape(nb, kbeams, hkv, rep, t, hd)
-            s_p = jnp.einsum(
-                "bkgrtd,bgpd->bkgrtp", q_r, pk.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            pmask = cache["prompt_mask"].astype(bool)
-            s_p = jnp.where(pmask[:, None, None, None, None, :], s_p, -1e30)
-            s_p = s_p.reshape(b, h, tp)  # t == 1 squeezed
-            m_p = jnp.max(s_p, axis=-1)
-            p_p = jnp.exp(s_p - m_p[..., None])
-            l_p = jnp.sum(p_p, axis=-1)
-            out_p = jnp.einsum(
-                "bkgrp,bgpd->bkgrd",
-                p_p.reshape(nb, kbeams, hkv, rep, tp).astype(self.dtype),
-                pv.astype(self.dtype),
-            ).reshape(b, h, hd).astype(jnp.float32)
-            # gen segment partials with in-kernel ancestry selection
             q_flat = q[:, :, 0, :]  # [B*K, h, d]
-            gen_fn = (
-                gen_attention_ancestor
-                if jax.default_backend() == "tpu"
-                else gen_attention_ancestor_ref
-            )
+            if kv_q:
+                # int8 prompt KV: VMEM dequant inside the prompt kernel
+                p_fn = prompt_attention if on_tpu else prompt_attention_ref
+                out_p, m_p, l_p = p_fn(
+                    q_flat.astype(self.dtype), pk, pv, cache["prompt_mask"],
+                    beams=kbeams, scale=scale,
+                    k_scale=cache["prompt_ks"], v_scale=cache["prompt_vs"],
+                )
+            else:
+                # prompt segment partials (shared bf16 KV, XLA einsums)
+                q_r = q.reshape(nb, kbeams, hkv, rep, t, hd)
+                s_p = jnp.einsum(
+                    "bkgrtd,bgpd->bkgrtp", q_r, pk.astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                pmask = cache["prompt_mask"].astype(bool)
+                s_p = jnp.where(pmask[:, None, None, None, None, :], s_p, -1e30)
+                s_p = s_p.reshape(b, h, tp)  # t == 1 squeezed
+                m_p = jnp.max(s_p, axis=-1)
+                p_p = jnp.exp(s_p - m_p[..., None])
+                l_p = jnp.sum(p_p, axis=-1)
+                out_p = jnp.einsum(
+                    "bkgrp,bgpd->bkgrd",
+                    p_p.reshape(nb, kbeams, hkv, rep, tp).astype(self.dtype),
+                    pv.astype(self.dtype),
+                ).reshape(b, h, hd).astype(jnp.float32)
+            # gen segment partials with in-kernel ancestry selection
+            gen_fn = gen_attention_ancestor if on_tpu else gen_attention_ancestor_ref
             out_g, m_g, l_g = gen_fn(
                 q_flat.astype(self.dtype), ck, cv, anc, idx + 1,
                 beams=kbeams, scale=scale,
+                k_scale=new_cache.get("fixed_ks"),
+                v_scale=new_cache.get("fixed_vs"),
             )
             out = merge_softmax_segments(out_p, m_p, l_p, out_g, m_g, l_g)
             out = out.astype(self.dtype).reshape(b, t, h * hd)
@@ -662,6 +685,7 @@ def generate_beam(
     cache_dtype=jnp.bfloat16,
     share_prompt_kv: bool = True,
     ancestry_reorder: bool = False,
+    kv_quant: Optional[str] = None,  # "int8" (requires ancestry_reorder)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HF-generate-equivalent beam search over embedded prompts.
 
@@ -670,6 +694,9 @@ def generate_beam(
     ``lax.while_loop`` decode.  Returns (sequences [B, K, max_new], scores).
     """
     from ..ops.beam_search import beam_search
+
+    if kv_quant and not (ancestry_reorder and share_prompt_kv):
+        raise ValueError("kv_quant requires ancestry_reorder (split cache)")
 
     # Ensemble support (reference: checkpoint_utils.load_model_ensemble_and_task
     # + fairseq EnsembleModel log-prob averaging, sequence_generator.py):
@@ -730,8 +757,8 @@ def generate_beam(
                 # fixed_* leaves are skipped by the beam gather; the tiny anc
                 # map is what gets reordered instead (see LlamaAttention's
                 # ancestry branch / ops/decode_attention.py)
-                cache_k = tuple(
-                    {
+                def _anc_cache(c):
+                    entry = {
                         "prompt_k": c["k"],
                         "prompt_v": c["v"],
                         "prompt_mask": attn_mask,
@@ -740,8 +767,27 @@ def generate_beam(
                         "anc": jnp.zeros((b * k, max_new_tokens), jnp.int32),
                         "index": jnp.zeros((), jnp.int32),
                     }
-                    for c in out["cache"]
-                )
+                    if kv_quant == "int8":
+                        # int8 serving cache: prompt quantized once after
+                        # prefill, gen slots quantized at write time; both
+                        # dequantize in VMEM inside the decode kernels
+                        from ..ops.decode_attention import quantize_kv
+
+                        pk_q, pk_s = quantize_kv(c["k"])
+                        pv_q, pv_s = quantize_kv(c["v"])
+                        entry.update(
+                            prompt_k=pk_q, prompt_v=pv_q,
+                            prompt_ks=pk_s, prompt_vs=pv_s,
+                            fixed_k=jnp.zeros(gen_shape, jnp.int8),
+                            fixed_v=jnp.zeros(gen_shape, jnp.int8),
+                            fixed_ks=jnp.zeros(gen_shape[:3], jnp.float32),
+                            fixed_vs=jnp.zeros(gen_shape[:3], jnp.float32),
+                        )
+                    elif kv_quant:
+                        raise ValueError(f"unsupported kv_quant {kv_quant!r}")
+                    return entry
+
+                cache_k = tuple(_anc_cache(c) for c in out["cache"])
             else:
                 cache_k = tuple(
                     {

@@ -37,26 +37,34 @@ NEG = -1e30
 
 def _kernel(
     q_ref,  # [K, h, d]
-    k_ref,  # [K, L, g, d]
+    k_ref,  # [K, L, g, d] (bf16/f32, or int8 when scales are present)
     v_ref,  # [K, L, g, d]
     anc_ref,  # [K, L] int32
     len_ref,  # [1, 1] int32 (SMEM): valid slots
-    out_ref,  # [K, h, d] f32
-    m_ref,  # [K, h] f32
-    l_ref,  # [K, h] f32
-    *,
+    *rest,  # [ks_ref, vs_ref,] out_ref, m_ref, l_ref
     beams: int,
     heads: int,
     groups: int,
     head_dim: int,
     slots: int,
     scale: float,
+    quantized: bool,
 ):
+    if quantized:
+        ks_ref, vs_ref, out_ref, m_ref, l_ref = rest
+    else:
+        out_ref, m_ref, l_ref = rest
     kq = beams
     rep = heads // groups
     q = q_ref[...].astype(jnp.float32)  # [K, h, d]
     k = k_ref[...].astype(jnp.float32)  # [K, L, g, d]
     v = v_ref[...].astype(jnp.float32)
+    if quantized:
+        # int8 KV: dequantize IN VMEM — halves the dominant decode-step HBM
+        # stream (the gen-KV cache read); an XLA-level astype+mul would
+        # materialize the bf16 copy in HBM and erase the saving
+        k = k * ks_ref[...].astype(jnp.float32)[..., None]
+        v = v * vs_ref[...].astype(jnp.float32)[..., None]
     anc = anc_ref[...]  # [K, L]
     valid = len_ref[0, 0]
 
@@ -105,6 +113,8 @@ def gen_attention_ancestor(
     *,
     beams: int,
     scale: float,
+    k_scale: jnp.ndarray = None,  # [B*K, L, g] f32 — set when gen_k/v are int8
+    v_scale: jnp.ndarray = None,
     interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Softmax partials (out, m, l) of the ancestry-selected gen segment.
@@ -118,20 +128,29 @@ def gen_attention_ancestor(
     rows, h, d = q.shape
     _, slots, g, _ = gen_k.shape
     b = rows // beams
+    quantized = k_scale is not None
     kern = functools.partial(
         _kernel, beams=beams, heads=h, groups=g, head_dim=d, slots=slots,
-        scale=scale,
+        scale=scale, quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((beams, slots), lambda i: (i, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands = [q, gen_k, gen_v, anc, valid_len.reshape(1, 1).astype(jnp.int32)]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((beams, slots, g), lambda i: (i, 0, 0)),
+            pl.BlockSpec((beams, slots, g), lambda i: (i, 0, 0)),
+        ]
+        operands += [k_scale, v_scale]
     out, m, l = pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((beams, slots), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((beams, h), lambda i: (i, 0)),
@@ -143,19 +162,26 @@ def gen_attention_ancestor(
             jax.ShapeDtypeStruct((rows, h), jnp.float32),
         ],
         interpret=interpret,
-    )(q, gen_k, gen_v, anc, valid_len.reshape(1, 1).astype(jnp.int32))
+    )(*operands)
     return out, m, l
 
 
-def gen_attention_ancestor_ref(q, gen_k, gen_v, anc, valid_len, *, beams, scale):
+def gen_attention_ancestor_ref(
+    q, gen_k, gen_v, anc, valid_len, *, beams, scale, k_scale=None, v_scale=None
+):
     """Pure-jnp oracle with identical semantics (tests + CPU fallback)."""
     rows, h, d = q.shape
     _, slots, g, _ = gen_k.shape
     b = rows // beams
     rep = h // g
+    gk32 = gen_k.astype(jnp.float32)
+    gv32 = gen_v.astype(jnp.float32)
+    if k_scale is not None:
+        gk32 = gk32 * k_scale.astype(jnp.float32)[..., None]
+        gv32 = gv32 * v_scale.astype(jnp.float32)[..., None]
     qb = q.reshape(b, beams, g, rep, d).astype(jnp.float32)
-    kb = gen_k.reshape(b, beams, slots, g, d).astype(jnp.float32)
-    vb = gen_v.reshape(b, beams, slots, g, d).astype(jnp.float32)
+    kb = gk32.reshape(b, beams, slots, g, d)
+    vb = gv32.reshape(b, beams, slots, g, d)
     ab = anc.reshape(b, beams, slots)
     s = jnp.einsum("bqgrd,bslgd->bqsgrl", qb, kb) * scale
     onehot = ab[:, :, None, :] == jnp.arange(beams)[None, None, :, None]
@@ -185,3 +211,134 @@ def merge_softmax_segments(out_a, m_a, l_a, out_b, m_b, l_b):
     num = out_a * ca + out_b * cb
     den = (l_a * jnp.exp(m_a - m) + l_b * jnp.exp(m_b - m))[..., None]
     return num / jnp.maximum(den, 1e-30)
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-vector int8 over the trailing (head_dim) axis:
+    [..., d] -> (int8 [..., d], f32 scale [...]).  The KV-cache serving
+    format — halves cache HBM traffic; dequantization happens in VMEM inside
+    the decode attention kernels."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(a / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, s
+
+
+def _prompt_kernel(
+    q_ref,  # [K, h, d]
+    k_ref,  # [1, g, Tp, d]
+    v_ref,  # [1, g, Tp, d]
+    mask_ref,  # [1, Tp] int32
+    *rest,  # [ks_ref [1, g, Tp], vs_ref,] out_ref, m_ref, l_ref
+    beams: int,
+    heads: int,
+    groups: int,
+    head_dim: int,
+    scale: float,
+    quantized: bool,
+):
+    if quantized:
+        ks_ref, vs_ref, out_ref, m_ref, l_ref = rest
+    else:
+        out_ref, m_ref, l_ref = rest
+    rep = heads // groups
+    q = q_ref[...].astype(jnp.float32).reshape(beams, groups, rep, head_dim)
+    k = k_ref[0].astype(jnp.float32)  # [g, Tp, d]
+    v = v_ref[0].astype(jnp.float32)
+    if quantized:
+        k = k * ks_ref[0].astype(jnp.float32)[..., None]
+        v = v * vs_ref[0].astype(jnp.float32)[..., None]
+    s = jnp.einsum("kgrd,gpd->kgrp", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    ok = mask_ref[0] != 0  # [Tp]
+    s = jnp.where(ok[None, None, None, :], s, NEG)
+    m = jnp.max(s, axis=-1)
+    p = jnp.where(ok[None, None, None, :], jnp.exp(s - m[..., None]), 0.0)
+    lsum = jnp.sum(p, axis=-1)
+    out = jnp.einsum("kgrp,gpd->kgrd", p, v, preferred_element_type=jnp.float32)
+    out_ref[...] = out.reshape(beams, heads, head_dim)
+    m_ref[...] = m.reshape(beams, heads)
+    l_ref[...] = lsum.reshape(beams, heads)
+
+
+def prompt_attention(
+    q: jnp.ndarray,  # [B*K, h, d]
+    prompt_k: jnp.ndarray,  # [B, g, Tp, d] (bf16 or int8 with scales)
+    prompt_v: jnp.ndarray,
+    prompt_mask: jnp.ndarray,  # [B, Tp] nonzero = valid
+    *,
+    beams: int,
+    scale: float,
+    k_scale: jnp.ndarray = None,  # [B, g, Tp]
+    v_scale: jnp.ndarray = None,
+    interpret=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared-prompt segment softmax partials, one batch element per grid
+    step (the K beam rows share its KV tiles in VMEM)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows, h, d = q.shape
+    b, g, tp, _ = prompt_k.shape
+    quantized = k_scale is not None
+    kern = functools.partial(
+        _prompt_kernel, beams=beams, heads=h, groups=g, head_dim=d,
+        scale=scale, quantized=quantized,
+    )
+    in_specs = [
+        pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, g, tp, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, g, tp, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, tp), lambda i: (i, 0)),
+    ]
+    operands = [q, prompt_k, prompt_v, prompt_mask.astype(jnp.int32)]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, g, tp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, g, tp), lambda i: (i, 0, 0)),
+        ]
+        operands += [k_scale, v_scale]
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((beams, h), lambda i: (i, 0)),
+            pl.BlockSpec((beams, h), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((rows, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
+def prompt_attention_ref(
+    q, prompt_k, prompt_v, prompt_mask, *, beams, scale, k_scale=None, v_scale=None
+):
+    """Pure-jnp oracle for prompt_attention."""
+    rows, h, d = q.shape
+    b, g, tp, _ = prompt_k.shape
+    rep = h // g
+    k = prompt_k.astype(jnp.float32)
+    v = prompt_v.astype(jnp.float32)
+    if k_scale is not None:
+        k = k * k_scale.astype(jnp.float32)[..., None]
+        v = v * v_scale.astype(jnp.float32)[..., None]
+    qb = q.reshape(b, beams, g, rep, d).astype(jnp.float32)
+    s = jnp.einsum("bkgrd,bgpd->bkgrp", qb, k) * scale
+    ok = prompt_mask.astype(bool)
+    s = jnp.where(ok[:, None, None, None, :], s, NEG)
+    m = jnp.max(s, axis=-1)
+    p = jnp.where(ok[:, None, None, None, :], jnp.exp(s - m[..., None]), 0.0)
+    lsum = jnp.sum(p, axis=-1)
+    out = jnp.einsum("bkgrp,bgpd->bkgrd", p, v)
+    return (
+        out.reshape(rows, h, d),
+        m.reshape(rows, h),
+        lsum.reshape(rows, h),
+    )

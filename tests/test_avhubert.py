@@ -203,6 +203,7 @@ def test_transformer_layer_matches_torch_mha(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_avhubert_video_only_and_masking(rng):
     cfg = AVHubertConfig.tiny()
     model = AVHubertModel(cfg)

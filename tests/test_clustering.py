@@ -41,6 +41,7 @@ def test_kmeans_recovers_separated_clusters(rng):
     assert d.min(axis=0).max() < 0.5
 
 
+@pytest.mark.slow
 def test_cluster_cli_roundtrip(corpus, tmp_path):
     root, _ = corpus
     cent = str(tmp_path / "centroids.npy")

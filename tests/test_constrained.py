@@ -155,6 +155,15 @@ def test_constrained_step_parity_vs_fairseq(mode, rng):
             seq=0, endpoints=0, length=0, num_constraint_tokens=0, max_depth=None
         )
 
+    step_fns = {
+        s0: jax.jit(
+            jax.vmap(
+                partial(_constrained_step_row, k=k, is_step0=s0, mode=mode),
+                in_axes=(0, 0, cons_axes, 0),
+            )
+        )
+        for s0 in (True, False)
+    }
     scores_hist = torch.zeros(b, k, steps + 1)
     for step in range(steps):
         lp = rng.standard_normal((b, k, vocab)).astype(np.float32)
@@ -168,10 +177,7 @@ def test_constrained_step_parity_vs_fairseq(mode, rng):
         our_scores = jnp.asarray(scores_hist[:, :, step - 1].numpy()) if step else (
             jnp.zeros((b, k), jnp.float32)
         )
-        s2k, t2k, b2k, st2k = jax.vmap(
-            partial(_constrained_step_row, k=k, is_step0=(step == 0), mode=mode),
-            in_axes=(0, 0, cons_axes, 0),
-        )(our_lp, our_scores, cons, state)
+        s2k, t2k, b2k, st2k = step_fns[step == 0](our_lp, our_scores, cons, state)
 
         np.testing.assert_allclose(
             np.asarray(s2k), ref_s.numpy(), rtol=1e-5, atol=1e-6,
@@ -190,6 +196,7 @@ def test_constrained_step_parity_vs_fairseq(mode, rng):
 
 
 @pytest.mark.parametrize("mode", ["unordered", "ordered"])
+@pytest.mark.slow
 def test_constrained_generate_seq2seq_satisfies_constraints(mode, rng):
     """End-to-end: a tiny random seq2seq decoder forced through constraints
     emits every constraint (contiguously; in order for mode='ordered')."""

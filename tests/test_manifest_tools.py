@@ -95,6 +95,7 @@ def test_update_paths(corpus, tmp_path):
     assert "DATA/clip0.npy" in open(out).read()
 
 
+@pytest.mark.slow
 def test_generate_mels(corpus):
     root, _ = corpus
     r = run_tool("generate-mels", "--tsv", f"{root}/train.tsv", "--workers", "2")
@@ -132,6 +133,7 @@ def test_filter_language(corpus, tmp_path):
     assert len(labels) == 2
 
 
+@pytest.mark.slow
 def test_make_babble(corpus, tmp_path):
     from scipy.io import wavfile
 
@@ -144,6 +146,7 @@ def test_make_babble(corpus, tmp_path):
     assert np.abs(data).max() <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_inspect_checkpoint(tmp_path):
     import torch
 

@@ -105,6 +105,7 @@ def test_llama_flash_prefill_matches_xla(rng):
     )
 
 
+@pytest.mark.slow
 def test_flash_grad_matches_reference(rng):
     """jax.grad through flash_attention (custom VJP, ADVICE r2 high) matches
     grad through the XLA reference path, including causal + left-pad window."""

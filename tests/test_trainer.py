@@ -77,10 +77,20 @@ def test_sharded_avsr_training_loss_decreases(rng):
 
 
 def test_checkpoint_roundtrip(tmp_path, rng):
-    cfg = AVSRConfig.tiny()
-    system = AVSRSystem(cfg)
-    batch = make_batch(rng, cfg)
-    variables = system.init(jax.random.PRNGKey(0), batch)
+    # compact synthetic tree: best/last bookkeeping is what's under test —
+    # full-model save/restore runs in the CLI integration tests (a full tiny
+    # AVSR tree cost ~25 s of orbax small-leaf IO here for no extra coverage)
+    variables = {
+        "params": {
+            "encoder": {
+                "afeat_1d_conv": {
+                    "kernel": jnp.asarray(rng.standard_normal((3, 8, 8)), jnp.float32)
+                }
+            },
+            "head": {"w": jnp.ones((4, 4), jnp.bfloat16)},
+        },
+        "batch_stats": {"bn": {"mean": jnp.zeros((8,))}},
+    }
 
     mgr = CheckpointManager(str(tmp_path / "ckpt"), best_metric="loss")
     mgr.save(variables, step=3, val_metrics={"loss": 1.5})

@@ -72,6 +72,7 @@ def test_whisper_encoder_length_masking(rng):
     )
 
 
+@pytest.mark.slow
 def test_whisper_encoder_block_padding_equivalence(rng):
     """The encoder pads T>=512 sequences once to the flash block multiple
     (hoisted out of the per-layer kernel); valid rows must be unaffected.
