@@ -73,6 +73,39 @@ def whisper_features_np(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
     return np.ascontiguousarray(log_spec.T.astype(np.float32))
 
 
+def whisper_features_long_np(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """[T] float32 -> [80, T//160] whisper log-mel over the FULL clip.
+
+    Long-form companion of ``whisper_features_np``: identical STFT/mel/log
+    math but without the 30 s truncation, for
+    ``AVSRSystem.generate_long_form`` which slices 30 s windows per decode
+    chunk.  Normalization (max - 8, +4, /4) is GLOBAL over the clip instead
+    of whisper's per-30 s-window max — decode chunks slide at arbitrary
+    offsets here, and a per-window max would put normalization seams inside
+    chunks; the global max equals the window max wherever the loudest frame
+    lives, so features match ``whisper_features_np`` exactly on clips
+    <= 30 s (tested)."""
+    n_fft, hop = stft_ops.WHISPER_N_FFT, stft_ops.WHISPER_HOP
+    wav = np.asarray(wav, np.float32)
+    if len(wav) < n_fft:
+        wav = np.pad(wav, (0, n_fft - len(wav)))
+    x = np.pad(wav, (n_fft // 2, n_fft // 2), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx]
+    basis = stft_ops._dft_basis(n_fft, n_fft)
+    proj = frames @ basis
+    n_bins = n_fft // 2 + 1
+    mag2 = proj[:, :n_bins] ** 2 + proj[:, n_bins:] ** 2
+    mag2 = mag2[:-1]
+    fb = stft_ops.mel_filterbank(stft_ops.WHISPER_SR, n_fft, n_mels)
+    mel = mag2 @ fb
+    log_spec = np.log10(np.clip(mel, 1e-10, None))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return np.ascontiguousarray(log_spec.T.astype(np.float32))
+
+
 def hifigan_mel_np(wav: np.ndarray) -> np.ndarray:
     """[T] -> [T//160, 128] natural-log mel targets (offline extractor
     equivalent of src/generateLogMel-Spectrograms.py)."""

@@ -559,7 +559,7 @@ class AVSRSystem:
 
         ``batch["audio_feats"]`` must be the FULL-CLIP mel features
         ([B, 80, >= 4 * video_frames]); compute them host-side with
-        data/audio.py's whisper mel pipeline over the whole waveform — a
+        ``data.audio.whisper_features_long_np`` over the whole waveform — a
         single fixed 30 s whisper window would starve every later chunk.
 
         With ``merge`` (default), consecutive chunk transcripts are stitched

@@ -265,6 +265,7 @@ def test_ensemble_identical_members_match_single(pair, rng):
     np.testing.assert_allclose(np.asarray(scores1), np.asarray(scores2), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ensemble_distinct_members_and_prompt_lengths(pair, rng):
     """Members with DIFFERENT weights and different prompt lengths decode
     jointly (per-member position offsets) and produce valid sequences."""

@@ -166,6 +166,7 @@ def test_prompt_attention_matches_ref_and_xla(rng):
                                    rtol=1e-5, atol=1e-5, err_msg=nm)
 
 
+@pytest.mark.slow
 def test_generate_beam_kv_quant_end_to_end(rng):
     """ancestry + int8 KV decodes valid sequences on a tiny model and stays
     close to the bf16 decode (same first tokens on a peaked distribution)."""

@@ -83,3 +83,24 @@ def test_whisper_log_mel_matches_hf(rng):
     got = np.asarray(stft_ops.whisper_log_mel(padded))
     assert got.shape == ref.shape == (80, 3000)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_whisper_features_long_matches_standard_on_short_clips(rng):
+    """Full-clip extractor == the 30 s extractor on <=30 s audio (the
+    silence padding never wins the global max), and produces T//160 frames
+    with finite values on >30 s clips (generate_long_form's contract)."""
+    from multimodalvc_tpu.data.audio import whisper_features_np, whisper_features_long_np
+
+    wav = (rng.standard_normal(16000 * 4) * 0.3).astype(np.float32)
+    std = whisper_features_np(wav)  # [80, 3000] (padded to 30 s)
+    lng = whisper_features_long_np(wav)  # [80, 400]
+    assert lng.shape == (80, len(wav) // 160)
+    # the last ~n_fft//2/hop frames see reflected audio where the 30 s
+    # extractor sees its zero padding; interior frames must match exactly
+    n_int = lng.shape[1] - 4
+    np.testing.assert_allclose(lng[:, :n_int], std[:, :n_int], rtol=1e-6, atol=1e-6)
+
+    long_wav = (rng.standard_normal(16000 * 45) * 0.3).astype(np.float32)
+    feats = whisper_features_long_np(long_wav)
+    assert feats.shape == (80, len(long_wav) // 160)
+    assert np.isfinite(feats).all()

@@ -50,6 +50,7 @@ def test_whisper_encoder_matches_hf(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_whisper_encoder_length_masking(rng):
     cfg = WhisperEncoderConfig(
         n_mels=80, d_model=64, num_layers=2, num_heads=4, ffn_dim=128, max_frames=50
