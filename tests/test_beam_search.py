@@ -427,3 +427,43 @@ def test_ancestry_reorder_matches_default(pair, rng):
     np.testing.assert_allclose(
         np.asarray(scores1), np.asarray(scores2), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_ensemble_three_members_varied_lengths(pair, rng):
+    """3-member ensemble (beyond the product's 2-member use): distinct
+    weights, three different prompt lengths — the per-member position
+    offsets must hold for every member, and an ensemble of identical
+    members must still reduce to the single model."""
+    _, model, variables = pair
+    cfg = LlamaConfig.tiny()
+    cfg.lora = None
+    vs = [variables]
+    for seed in (7, 8):
+        vs.append(
+            LlamaModel(cfg).init(
+                jax.random.PRNGKey(seed),
+                inputs_embeds=jnp.zeros((1, 4, 64), jnp.float32),
+                attn_mask=jnp.ones((1, 4), jnp.int32),
+            )
+        )
+    embs, masks = [], []
+    for i, t in enumerate((7, 9, 6)):
+        e = (rng.standard_normal((2, t, 64)) * 0.05).astype(np.float32)
+        m = np.ones((2, t), dtype=np.int64)
+        m[1, : 2 + i] = 0
+        embs.append(jnp.asarray(e))
+        masks.append(jnp.asarray(m))
+    kw = dict(eos_token_id=EOS, pad_token_id=PAD, num_beams=3,
+              max_new_tokens=6, cache_dtype=jnp.float32)
+    seqs, scores = generate_beam(model, vs, embs, masks, **kw)
+    assert seqs.shape == (2, 3, 6)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    # identical members at 3x: exact reduction to the single model
+    s1, sc1 = generate_beam(model, variables, embs[0], masks[0], **kw)
+    s3, sc3 = generate_beam(
+        model, [variables] * 3, [embs[0]] * 3, [masks[0]] * 3, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(s1[:, 0]), np.asarray(s3[:, 0]))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc3), rtol=1e-4, atol=1e-5)
