@@ -90,7 +90,7 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
     for raw in PrefetchLoader(
         ds, ds.batches(max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size)
     ):
-        batch = task.prepare_batch(raw)
+        batch = task.prepare_batch(raw, train=False)
         h, r = task.decode_to_text(variables, batch, raw["ids"], ds, cfg.generation)
         for sample_id, hyp, ref in zip(raw["ids"], h, r):
             hyps.append(hyp)

@@ -244,7 +244,7 @@ def main(cfg: TrainRootConfig) -> Dict[str, float]:
         for bi, raw in enumerate(
             PrefetchLoader(valid_ds, v_batches, num_workers=cfg.dataset.num_workers)
         ):
-            vb = pad_batch_to_multiple(task.prepare_batch(raw), multiple)
+            vb = pad_batch_to_multiple(task.prepare_batch(raw, train=False), multiple)
             # OOM-safe validation (reference: trainer.py:955+ retries OOM
             # valid batches at half size); the split/repad runs on the LOCAL
             # host batch, global assembly happens inside the step
@@ -521,7 +521,7 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
             valid_ds, valid_ds.batches(batch_size=bsz, max_tokens=cfg.dataset.max_tokens)
         ):
             val_agg.update(
-                {k: float(v) for k, v in valid_fn(state, prep(task.prepare_batch(raw))).items()}
+                {k: float(v) for k, v in valid_fn(state, prep(task.prepare_batch(raw, train=False))).items()}
             )
         last_val = val_agg.snapshot()
         log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
@@ -529,7 +529,7 @@ def _e2e_gan_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         # validation audio sample, like the vocoder loop (reference logs
         # generated audio to TB, trainGermanVocoder.py:541-575)
         try:
-            sample = prep(task.prepare_batch(valid_ds.collate([valid_ds[0]])))
+            sample = prep(task.prepare_batch(valid_ds.collate([valid_ds[0]]), train=False))
             wav = np.asarray(jax.device_get(trainer.synthesize(state, sample)))[0]
             tb.audio("valid/generated", wav.reshape(-1), int(state.step))
         except Exception:
@@ -598,7 +598,7 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
             valid_ds, valid_ds.batches(batch_size=cfg.dataset.batch_size or 8, max_tokens=None)
         ):
             val_agg.update(
-                {k: float(v) for k, v in valid_fn(state, prep(task.prepare_batch(raw))).items()}
+                {k: float(v) for k, v in valid_fn(state, prep(task.prepare_batch(raw, train=False))).items()}
             )
         last_val = val_agg.snapshot()
         log_stats(last_val, int(state.step), "valid", cfg.common.log_format)
@@ -607,7 +607,7 @@ def _vocoder_loop(cfg: TrainRootConfig, task, mesh) -> Dict[str, float]:
         # logs generated audio + spectrogram figures to TensorBoard)
         try:
             sample = task.prepare_batch(
-                valid_ds.collate([valid_ds[0]])
+                valid_ds.collate([valid_ds[0]]), train=False
             )
             wav = np.asarray(
                 model.generate(

@@ -48,13 +48,9 @@ class NoiseMixer:
         return np.asarray(add_noise_snr(wav, seg, snr))
 
 
-def whisper_features_np(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
-    """[T] float32 -> [80, 3000] whisper log-mel, pure numpy (worker-safe)."""
-    n = stft_ops.WHISPER_N_SAMPLES
-    if len(wav) >= n:
-        wav = wav[:n]
-    else:
-        wav = np.pad(wav, (0, n - len(wav)))
+def _whisper_log_mel_core(wav: np.ndarray, n_mels: int) -> np.ndarray:
+    """Shared STFT/mel/log-normalize math of the two whisper extractors
+    (global max-8 clamp, +4, /4 — openai/whisper audio.py semantics)."""
     n_fft, hop = stft_ops.WHISPER_N_FFT, stft_ops.WHISPER_HOP
     x = np.pad(wav.astype(np.float32), (n_fft // 2, n_fft // 2), mode="reflect")
     n_frames = 1 + (len(x) - n_fft) // hop
@@ -73,37 +69,32 @@ def whisper_features_np(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
     return np.ascontiguousarray(log_spec.T.astype(np.float32))
 
 
+def whisper_features_np(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """[T] float32 -> [80, 3000] whisper log-mel, pure numpy (worker-safe)."""
+    n = stft_ops.WHISPER_N_SAMPLES
+    if len(wav) >= n:
+        wav = wav[:n]
+    else:
+        wav = np.pad(wav, (0, n - len(wav)))
+    return _whisper_log_mel_core(wav, n_mels)
+
+
 def whisper_features_long_np(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
     """[T] float32 -> [80, T//160] whisper log-mel over the FULL clip.
 
     Long-form companion of ``whisper_features_np``: identical STFT/mel/log
-    math but without the 30 s truncation, for
+    math (shared ``_whisper_log_mel_core``) without the 30 s truncation, for
     ``AVSRSystem.generate_long_form`` which slices 30 s windows per decode
-    chunk.  Normalization (max - 8, +4, /4) is GLOBAL over the clip instead
-    of whisper's per-30 s-window max — decode chunks slide at arbitrary
-    offsets here, and a per-window max would put normalization seams inside
-    chunks; the global max equals the window max wherever the loudest frame
-    lives, so features match ``whisper_features_np`` exactly on clips
-    <= 30 s (tested)."""
-    n_fft, hop = stft_ops.WHISPER_N_FFT, stft_ops.WHISPER_HOP
+    chunk.  Normalization is GLOBAL over the clip instead of whisper's
+    per-30 s-window max — decode chunks slide at arbitrary offsets here, and
+    a per-window max would put normalization seams inside chunks; matches
+    ``whisper_features_np`` exactly on interior frames of <= 30 s clips
+    (tested)."""
     wav = np.asarray(wav, np.float32)
+    n_fft = stft_ops.WHISPER_N_FFT
     if len(wav) < n_fft:
         wav = np.pad(wav, (0, n_fft - len(wav)))
-    x = np.pad(wav, (n_fft // 2, n_fft // 2), mode="reflect")
-    n_frames = 1 + (len(x) - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[idx]
-    basis = stft_ops._dft_basis(n_fft, n_fft)
-    proj = frames @ basis
-    n_bins = n_fft // 2 + 1
-    mag2 = proj[:, :n_bins] ** 2 + proj[:, n_bins:] ** 2
-    mag2 = mag2[:-1]
-    fb = stft_ops.mel_filterbank(stft_ops.WHISPER_SR, n_fft, n_mels)
-    mel = mag2 @ fb
-    log_spec = np.log10(np.clip(mel, 1e-10, None))
-    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
-    log_spec = (log_spec + 4.0) / 4.0
-    return np.ascontiguousarray(log_spec.T.astype(np.float32))
+    return _whisper_log_mel_core(wav, n_mels)
 
 
 def hifigan_mel_np(wav: np.ndarray) -> np.ndarray:

@@ -316,17 +316,17 @@ class AVSRModel(nn.Module):
         return self.build_prompt(queries, query_lens, batch, True)
 
 
-def merge_token_rows(rows, eos_token_id: int, pad_token_id: int):
+def merge_token_rows(rows, eos_token_id: int, pad_token_id: int, dedup: bool = True):
     """Stitch per-chunk transcripts into one token row (whisper-style).
 
-    Each row is cleaned (truncated at EOS, pad dropped), then consecutive
-    rows are joined with the LONGEST exact suffix/prefix token overlap
-    removed — the token-level analog of whisper's overlapped-window
-    transcript merging.  Rows with no overlap concatenate unchanged.
-    Capability the reference lacks (clips are capped at 500 frames,
-    src/conf/mms-llama.yaml:38).
+    Each row is cleaned (truncated at EOS, pad dropped); with ``dedup``
+    consecutive rows are joined with the LONGEST exact suffix/prefix token
+    overlap removed — the token-level analog of whisper's overlapped-window
+    transcript merging.  ``dedup=False`` (used when the decode chunks do not
+    overlap) concatenates unchanged, so genuinely repeated words across a
+    chunk boundary survive.  Capability the reference lacks (clips are
+    capped at 500 frames, src/conf/mms-llama.yaml:38).
     """
-    import numpy as np_
 
     def clean(row):
         out = []
@@ -343,12 +343,13 @@ def merge_token_rows(rows, eos_token_id: int, pad_token_id: int):
     for row in rows[1:]:
         nxt = clean(row)
         k = 0
-        for cand in range(min(len(merged), len(nxt)), 0, -1):
-            if merged[len(merged) - cand :] == nxt[:cand]:
-                k = cand
-                break
+        if dedup:
+            for cand in range(min(len(merged), len(nxt)), 0, -1):
+                if merged[len(merged) - cand :] == nxt[:cand]:
+                    k = cand
+                    break
         merged.extend(nxt[k:])
-    return np_.asarray(merged, np_.int32)
+    return np.asarray(merged, np.int32)
 
 
 @register_model("mms_llama_avsr", config=AVSRConfig)
@@ -568,21 +569,23 @@ class AVSRSystem:
         (``merge_token_rows``) — returning ONE token row per sample.
         ``merge=False`` returns the raw per-chunk rows.
         """
-        import numpy as np_
-
         video = batch["video"]
-        lengths = np_.asarray(batch["video_lengths"])
+        lengths = np.asarray(batch["video_lengths"])
         b, t_total = video.shape[0], video.shape[1]
         stride = chunk_frames - overlap_frames
         if stride <= 0:
             raise ValueError("overlap must be smaller than the chunk")
         audio_feats = batch["audio_feats"]
-        if t_total > chunk_frames and audio_feats.shape[-1] < 4 * int(max(lengths)):
+        # tolerance of 8 mel frames: whisper_features_long_np yields exactly
+        # samples//160 frames, and real corpora round audio a frame or two
+        # short of video_frames * 640 samples
+        if t_total > chunk_frames and audio_feats.shape[-1] < 4 * int(max(lengths)) - 8:
             raise ValueError(
                 f"audio_feats covers {audio_feats.shape[-1]} mel frames but the "
-                f"clip spans {int(max(lengths))} video frames (= "
+                f"clip spans {int(max(lengths))} video frames (~"
                 f"{4 * int(max(lengths))} mel frames at 100 Hz); pass full-clip "
-                "mel features, not a single 30 s whisper window"
+                "mel features (data.audio.whisper_features_long_np), not a "
+                "single 30 s whisper window"
             )
         texts = [[] for _ in range(b)]
         for start in range(0, max(t_total - overlap_frames, 1), stride):
@@ -607,13 +610,18 @@ class AVSRSystem:
             chunk_batch["video_lengths"] = jnp.maximum(chunk_lens, 1)
             chunk_batch["audio_feats"] = a
             seqs, _ = self.generate(variables, chunk_batch, **gen_kwargs)
-            best = np_.asarray(seqs[:, 0])
+            best = np.asarray(seqs[:, 0])
             for i in range(b):
                 if chunk_lens[i] > 0:
                     texts[i].append(best[i])
         if not merge:
             return texts
         return [
-            merge_token_rows(rows, self.cfg.eos_token_id, self.cfg.pad_token_id)
+            merge_token_rows(
+                rows, self.cfg.eos_token_id, self.cfg.pad_token_id,
+                # overlap dedup only when the windows actually overlap —
+                # adjacent chunks may legitimately repeat tokens
+                dedup=overlap_frames > 0,
+            )
             for rows in texts
         ]

@@ -495,9 +495,21 @@ def _constrained_step_row(
     ok_all = ok_all & ~jnp.any(same & earlier, axis=1)
 
     # STEP 6+7: stripe round-robin across banks and re-sort (:480-517).
-    # cnt = position within this bank's (sorted-contiguous) run
-    same_bank = banks[None, :] == banks[:, None]
-    cnt = jnp.sum(same_bank & earlier & ok_all[None, :], axis=1).astype(jnp.int32)
+    # fairseq's cur_bank_count resets at every CONTIGUOUS-run boundary of the
+    # (deduped, key-sorted) list — not per bank value globally.  The sort key
+    # is usually bank-grouped, but a >100 score spread between adjacent banks
+    # (MAX_SCORE = -100) interleaves them and the two countings diverge, so
+    # compute run positions exactly: compact the valid entries in sort order,
+    # find run starts where the bank changes, and take index - run_start.
+    compact = jnp.argsort(jnp.where(ok_all, rank, jnp.int32(1 << 30)))  # valid first
+    bank_seq = banks[compact]
+    pos = jnp.arange(c, dtype=jnp.int32)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), bool), bank_seq[1:] != bank_seq[:-1]]
+    )
+    start_idx = jax.lax.cummax(jnp.where(run_start, pos, 0))
+    cnt_seq = pos - start_idx
+    cnt = jnp.zeros((c,), jnp.int32).at[compact].set(cnt_seq)
     l_valid = jnp.sum(ok_all).astype(jnp.int32)
     stripes = (
         t_total.astype(jnp.int32) - banks + cnt * (l_valid + 1)
@@ -686,15 +698,21 @@ def constrained_beam_search(
     # EOS for unfinished states, so constraint-violating hypotheses reach the
     # output with -inf scores (i.e. only when nothing satisfied exists).
     gen_len_final = jnp.maximum(step.astype(jnp.float32), 1.0)
-    final_live = jnp.where(
-        is_finished(live_state),
-        live_scores / (gen_len_final**length_penalty),
-        NEG_INF,
-    )
+    norm_live = live_scores / (gen_len_final**length_penalty)
+    final_live = jnp.where(is_finished(live_state), norm_live, NEG_INF)
     all_seqs = jnp.concatenate([fin_seqs, live_seqs], axis=1)
     all_scores = jnp.concatenate([fin_scores, final_live], axis=1)
     scores, order = jax.lax.top_k(all_scores, k)
-    return jnp.take_along_axis(all_seqs, order[:, :, None], axis=1), scores
+    best = jnp.take_along_axis(all_seqs, order[:, :, None], axis=1)
+    # rows where NOTHING satisfied its constraints (budget too small, or
+    # unsatisfiable): fairseq still emits the best-effort hypothesis tokens
+    # at max-len rather than empties — fall back to the live beams by score
+    nothing = ~jnp.any(all_scores > NEG_INF / 2, axis=1)  # [B]
+    live_rank_scores, live_order = jax.lax.top_k(norm_live, k)
+    live_sorted = jnp.take_along_axis(live_seqs, live_order[:, :, None], axis=1)
+    best = jnp.where(nothing[:, None, None], live_sorted, best)
+    scores = jnp.where(nothing[:, None], live_rank_scores, scores)
+    return best, scores
 
 
 def diverse_beam_search(

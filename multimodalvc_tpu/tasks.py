@@ -89,7 +89,9 @@ class AVSRTask:
         self.model_cfg.pad_token_id = ds.tokenizer.pad_token_id
         return ds
 
-    def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def prepare_batch(
+        self, batch: Dict[str, np.ndarray], train: bool = True
+    ) -> Dict[str, np.ndarray]:
         batch = _trim_audio_feats(batch, self.model_cfg.whisper.max_frames)
         keys = (
             "video",
@@ -222,7 +224,7 @@ class SpeechTask:
             )
         )
 
-    def prepare_batch(self, batch):
+    def prepare_batch(self, batch, train: bool = True):
         batch = _trim_audio_feats(dict(batch), self.model_cfg.whisper.max_frames)
         keys = (
             "video", "video_lengths", "audio_feats", "audio_lengths",
@@ -231,12 +233,15 @@ class SpeechTask:
         out = {k: batch[k] for k in keys if k in batch}
         if self.cfg.variant == "llm" and "instruction" not in out:
             raise ValueError("llm variant needs instruction tokens")
-        # batch-level modality dropout mode (src/modelSpeechNoLLM.py:312-322)
-        mode = self._mode_rng.choice(
-            3,
-            p=[self.cfg.p_modality_av, self.cfg.p_modality_video_only, self.cfg.p_modality_audio_only],
-        )
-        out["modality_mode"] = np.asarray(mode, np.int32)
+        # batch-level modality dropout mode, TRAINING ONLY — the reference
+        # samples under self.training and evals in 'av' mode
+        # (src/modelSpeechNoLLM.py:312-322)
+        if train:
+            mode = self._mode_rng.choice(
+                3,
+                p=[self.cfg.p_modality_av, self.cfg.p_modality_video_only, self.cfg.p_modality_audio_only],
+            )
+            out["modality_mode"] = np.asarray(mode, np.int32)
         return out
 
     def init_variables(self, rng, sample_batch):
@@ -316,7 +321,7 @@ class VocoderTask:
             )
         )
 
-    def prepare_batch(self, batch):
+    def prepare_batch(self, batch, train: bool = True):
         seg = self.model_cfg.segment_length
         n_mel = seg // 160
         return {
@@ -407,19 +412,20 @@ class E2EGanTask:
             )
         )
 
-    def prepare_batch(self, batch):
+    def prepare_batch(self, batch, train: bool = True):
         batch = _trim_audio_feats(dict(batch), self.model_cfg.whisper.max_frames)
         keys = (
             "video", "video_lengths", "audio_feats", "audio_lengths",
             "target_mel", "target_mel_lengths", "waveform",
         )
         out = {k: batch[k] for k in keys if k in batch}
-        mode = self._mode_rng.choice(
-            3,
-            p=[self.cfg.p_modality_av, self.cfg.p_modality_video_only,
-               self.cfg.p_modality_audio_only],
-        )
-        out["modality_mode"] = np.asarray(mode, np.int32)
+        if train:
+            mode = self._mode_rng.choice(
+                3,
+                p=[self.cfg.p_modality_av, self.cfg.p_modality_video_only,
+                   self.cfg.p_modality_audio_only],
+            )
+            out["modality_mode"] = np.asarray(mode, np.int32)
         return out
 
 
@@ -465,7 +471,7 @@ class AVHubertPretrainTask:
             length_buckets=tuple(self.cfg.length_buckets),
         )
 
-    def prepare_batch(self, batch):
+    def prepare_batch(self, batch, train: bool = True):
         return batch
 
     def frozen_patterns(self):

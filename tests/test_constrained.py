@@ -239,3 +239,30 @@ def test_constrained_generate_seq2seq_satisfies_constraints(mode, rng):
     assert contains(best[1], [11, 12, 13]) >= 0, best[1]
     if mode == "ordered":
         assert contains(best[0], [5, 6]) < contains(best[0], [9])
+
+
+def test_constrained_unsatisfiable_returns_best_effort(rng):
+    """Constraints that cannot fit in max_new_tokens: the search must return
+    the best-effort live hypotheses (fairseq force-finalizes at max-len),
+    not pad-filled rows."""
+    from multimodalvc_tpu.ops.beam_search import constrained_beam_search
+
+    b, k, vocab, L = 1, 2, 16, 3
+    packed = C.pack_constraints([[[5, 6, 7, 8, 9]]])  # 5 tokens > 3 budget
+    cons = C.build_unordered(packed)
+    logits = jnp.asarray(rng.standard_normal((b, vocab)), jnp.float32)
+
+    def decode_fn(tokens, positions, cache):
+        return jnp.tile(logits, (tokens.shape[0], 1)), cache
+
+    seqs, scores = constrained_beam_search(
+        decode_fn, {}, jnp.ones((b,), jnp.int32), logits,
+        eos_token_id=2, pad_token_id=0, max_new_tokens=L,
+        constraint_set=cons, num_beams=k, mode="unordered",
+    )
+    best = np.asarray(seqs)[0, 0]
+    assert not (best == 0).all(), best  # not pure pad
+    assert np.isfinite(np.asarray(scores)[0, 0])
+    # bank striping keeps constraint-progressing hypotheses in the beam:
+    # some returned beam carries constraint tokens
+    assert any(5 in np.asarray(seqs)[0, j] for j in range(k)), np.asarray(seqs)
