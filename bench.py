@@ -214,6 +214,12 @@ def main():
         help="int8 KV cache (prompt + gen, VMEM dequant); implies --ancestry",
     )
     parser.add_argument(
+        "--encoder-microbatch", type=int, default=0,
+        help="run encoders+prompt assembly in N sequential chunks (lax.map) "
+        "to shrink video-frontend transients — the batch-64 peak-memory "
+        "lever; decode still runs the full batch",
+    )
+    parser.add_argument(
         "--train", action="store_true",
         help="benchmark the TRAINING step (fwd+bwd+AdamW on the trainable "
         "subset, frozen encoders/LLM like the reference recipe) instead of "
@@ -394,7 +400,17 @@ def main():
 
     @jax.jit
     def decode(v, bt):
-        emb, mask = system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
+        if args.encoder_microbatch > 1:
+            m = args.encoder_microbatch
+            chunked = {kk: x.reshape((m, x.shape[0] // m) + x.shape[1:]) for kk, x in bt.items()}
+            emb, mask = jax.lax.map(
+                lambda ch: system.module.apply(v, ch, method=AVSRModel.prompt_for_generation),
+                chunked,
+            )
+            emb = emb.reshape((-1,) + emb.shape[2:])
+            mask = mask.reshape((-1,) + mask.shape[2:])
+        else:
+            emb, mask = system.module.apply(v, bt, method=AVSRModel.prompt_for_generation)
         llama_vars = {"params": v["params"]["llama"]}
         seqs, scores = generate_beam(
             system.llama_module,

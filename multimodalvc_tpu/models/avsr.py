@@ -483,6 +483,7 @@ class AVSRSystem:
         cache_dtype=jnp.bfloat16,
         ancestry_reorder: bool = False,
         kv_quant: Optional[str] = None,
+        encoder_microbatch: int = 0,
     ):
         """Beam-search transcription (reference: src/model.py:371-487).
 
@@ -491,6 +492,10 @@ class AVSRSystem:
         config), so a transcription is a single device dispatch.
         ``ancestry_reorder`` switches the beam reorder to the zero-traffic
         ancestry-select decode attention (ops/decode_attention.py).
+        ``encoder_microbatch`` > 1 runs the encoders + prompt assembly in
+        that many sequential batch chunks (``lax.map``): the video frontend's
+        activation transients — the serving peak-memory driver — shrink by
+        the chunk factor while the decode still runs at the full batch.
         """
         key = (
             num_beams,
@@ -502,8 +507,36 @@ class AVSRSystem:
             self.cfg.pad_token_id,
             ancestry_reorder,
             kv_quant,
+            encoder_microbatch,
         )
         if key not in self._gen_cache:
+
+            def _encode(v, batch):
+                if encoder_microbatch > 1:
+                    nb = next(iter(batch.values())).shape[0]
+                    if nb % encoder_microbatch:
+                        raise ValueError(
+                            f"batch {nb} not divisible by encoder_microbatch "
+                            f"{encoder_microbatch}"
+                        )
+                    m = encoder_microbatch
+                    chunked = {
+                        kk: x.reshape((m, nb // m) + x.shape[1:])
+                        for kk, x in batch.items()
+                    }
+                    emb, attn_mask = jax.lax.map(
+                        lambda ch: self.module.apply(
+                            v, ch, method=AVSRModel.prompt_for_generation
+                        ),
+                        chunked,
+                    )
+                    return (
+                        emb.reshape((-1,) + emb.shape[2:]),
+                        attn_mask.reshape((-1,) + attn_mask.shape[2:]),
+                    )
+                return self.module.apply(
+                    v, batch, method=AVSRModel.prompt_for_generation
+                )
 
             def _gen(variables, batch):
                 # variables may be a LIST of trees — a checkpoint ensemble
@@ -513,9 +546,7 @@ class AVSRSystem:
                 ens = variables if isinstance(variables, (list, tuple)) else [variables]
                 embs, masks, lvars = [], [], []
                 for v in ens:
-                    emb, attn_mask = self.module.apply(
-                        v, batch, method=AVSRModel.prompt_for_generation
-                    )
+                    emb, attn_mask = _encode(v, batch)
                     embs.append(emb)
                     masks.append(attn_mask)
                     lvars.append({"params": v["params"]["llama"]})

@@ -181,3 +181,20 @@ def test_merge_token_rows():
     rows = [np.asarray([1, 4, eos, 9, 9]), np.asarray([4, 3, eos, 8])]
     np.testing.assert_array_equal(merge_token_rows(rows, eos, pad), [1, 4, 3])
     assert merge_token_rows([], eos, pad).shape == (0,)
+
+
+def test_generate_encoder_microbatch_matches_full(rng):
+    """encoder_microbatch chunks the encoders through lax.map; tokens must
+    equal the unchunked program (the decode runs at full batch either way)."""
+    cfg = AVSRConfig.tiny()
+    system = AVSRSystem(cfg)
+    batch = make_batch(rng, cfg)
+    batch.pop("labels"), batch.pop("label_lengths")
+    variables = system.init(jax.random.PRNGKey(0), {**batch,
+        "labels": jnp.zeros((2, 4), jnp.int32),
+        "label_lengths": jnp.ones((2,), jnp.int32)})
+    kw = dict(num_beams=2, max_new_tokens=4)
+    s1, sc1 = system.generate(variables, batch, **kw)
+    s2, sc2 = system.generate(variables, batch, encoder_microbatch=2, **kw)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2), rtol=1e-5, atol=1e-6)
