@@ -686,6 +686,8 @@ def generate_beam(
     share_prompt_kv: bool = True,
     ancestry_reorder: bool = False,
     kv_quant: Optional[str] = None,  # "int8" (requires ancestry_reorder)
+    constraints=None,  # ops.constraints.TrieArrays | SequenceArrays
+    constraints_mode: str = "unordered",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HF-generate-equivalent beam search over embedded prompts.
 
@@ -845,6 +847,27 @@ def generate_beam(
         _prefill_member(v, e, m) for v, e, m in zip(ens_vars, ens_emb, ens_mask)
     ]
     k = num_beams
+    if constraints is not None:
+        # lexically-constrained transcription over the same prefilled cache
+        # (fairseq --constraints; see ops/beam_search.constrained_beam_search)
+        from ..ops.beam_search import constrained_beam_search
+
+        if n_ens != 1:
+            raise NotImplementedError("constrained decoding with ensembles")
+        first_logits, cache_k, decode_fn, valid_lens = members[0]
+        return constrained_beam_search(
+            decode_fn,
+            cache_k,
+            prompt_lengths=valid_lens,
+            first_logits=first_logits,
+            eos_token_id=eos_token_id,
+            pad_token_id=pad_token_id,
+            max_new_tokens=max_new_tokens,
+            constraint_set=constraints,
+            num_beams=k,
+            length_penalty=length_penalty,
+            mode=constraints_mode,
+        )
     if n_ens == 1:
         first_logits, cache_k, decode_fn, valid_lens = members[0]
         return beam_search(

@@ -266,3 +266,31 @@ def test_constrained_unsatisfiable_returns_best_effort(rng):
     # bank striping keeps constraint-progressing hypotheses in the beam:
     # some returned beam carries constraint tokens
     assert any(5 in np.asarray(seqs)[0, j] for j in range(k)), np.asarray(seqs)
+
+
+def test_generate_beam_with_constraints(rng):
+    """Constrained transcription through the product LLaMA decode path
+    (generate_beam + prefilled KV cache)."""
+    from multimodalvc_tpu.nn.llama import LlamaConfig, LlamaModel, generate_beam
+
+    cfg = LlamaConfig.tiny()
+    cfg.lora = None
+    model = LlamaModel(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        inputs_embeds=jnp.zeros((1, 4, 64), jnp.float32),
+        attn_mask=jnp.ones((1, 4), jnp.int32),
+    )
+    emb = jnp.asarray(rng.standard_normal((2, 7, 64)) * 0.05, jnp.float32)
+    mask = np.ones((2, 7), np.int64)
+    mask[1, :3] = 0
+    cons = C.build_unordered(C.pack_constraints([[[17, 18]], [[40]]]))
+    seqs, scores = generate_beam(
+        model, variables, emb, jnp.asarray(mask),
+        eos_token_id=2, pad_token_id=0, num_beams=4, max_new_tokens=10,
+        cache_dtype=jnp.float32, constraints=cons,
+    )
+    best = np.asarray(seqs)[:, 0]
+    row0 = best[0].tolist()
+    assert any(row0[i : i + 2] == [17, 18] for i in range(len(row0) - 1)), row0
+    assert 40 in best[1].tolist(), best[1]
