@@ -36,10 +36,10 @@ NEG = -1e30
 
 
 def _kernel(
-    q_ref,  # [K, h, d]
-    k_ref,  # [K, L, g, d] (bf16/f32, or int8 when scales are present)
-    v_ref,  # [K, L, g, d]
-    anc_ref,  # [K, L] int32
+    q_ref,  # [1, K, h, d]
+    k_ref,  # [1, K, L, g, d] (bf16/f32, or int8 when scales are present)
+    v_ref,  # [1, K, L, g, d]
+    anc_ref,  # [1, K, L] int32
     len_ref,  # [1, 1] int32 (SMEM): valid slots
     *rest,  # [ks_ref, vs_ref,] out_ref, m_ref, l_ref
     beams: int,
@@ -50,58 +50,89 @@ def _kernel(
     scale: float,
     quantized: bool,
 ):
+    # All refs carry an explicit leading batch-block dim of 1: Mosaic requires
+    # the LAST TWO block dims to be (8,128)-divisible or full — separating the
+    # (b, beams) row structure keeps every checked trailing pair full-sized.
+    # The body stays at rank <= 4 throughout (rank-5 vector ops and einsums
+    # with >1 batch dim crash the Mosaic compiler): the ancestry one-hot
+    # select is a static unrolled loop over the Ks source rows, with scores
+    # and probabilities held in a [g, Kq*rep, L] layout so every contraction
+    # is a single-batch 3-D einsum.
     if quantized:
         ks_ref, vs_ref, out_ref, m_ref, l_ref = rest
     else:
         out_ref, m_ref, l_ref = rest
     kq = beams
     rep = heads // groups
-    q = q_ref[...].astype(jnp.float32)  # [K, h, d]
-    k = k_ref[...].astype(jnp.float32)  # [K, L, g, d]
-    v = v_ref[...].astype(jnp.float32)
-    if quantized:
-        # int8 KV: dequantize IN VMEM — halves the dominant decode-step HBM
-        # stream (the gen-KV cache read); an XLA-level astype+mul would
-        # materialize the bf16 copy in HBM and erase the saving
-        k = k * ks_ref[...].astype(jnp.float32)[..., None]
-        v = v * vs_ref[...].astype(jnp.float32)[..., None]
-    anc = anc_ref[...]  # [K, L]
+    x = kq * rep
+    q = q_ref[0].astype(jnp.float32)  # [Kq, h, d]
+    anc = anc_ref[0]  # [Kq, L]
     valid = len_ref[0, 0]
 
-    # scores vs ALL K source rows: [Kq, Ks, g, rep, L]
+    # q in [g, Kq*rep, d]
     qg = q.reshape(kq, groups, rep, head_dim)
-    s = jnp.einsum("qgrd,slgd->qsgrl", qg, k, preferred_element_type=jnp.float32)
-    s = s * scale
+    qx = qg.transpose(1, 0, 2, 3).reshape(groups, x, head_dim)
 
-    # ancestry one-hot select over the source axis + validity mask
-    onehot = (
-        anc[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (1, beams, 1), 1)
-    )  # [Kq, Ks, L]
     slot_ok = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1) < valid
-    )  # [1, L]
-    sel = jnp.sum(
-        jnp.where(onehot[:, :, None, None, :], s, 0.0), axis=1
-    )  # [Kq, g, rep, L]
-    sel = jnp.where(slot_ok[0][None, None, None, :], sel, NEG)
+        jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1)[0] < valid
+    )  # [L]
 
-    m = jnp.max(sel, axis=-1)  # [Kq, g, rep]
-    p = jnp.exp(sel - m[..., None])  # [Kq, g, rep, L]
-    p = jnp.where(slot_ok[0][None, None, None, :], p, 0.0)
-    lsum = jnp.sum(p, axis=-1)  # [Kq, g, rep]
+    def source(s_idx):
+        """(dequantized k3, v3, row mask) of source row s_idx, in
+        ([g, L, d], [g, L, d], [1, Kq*rep, L]) layout."""
+        k_s = k_ref[0, s_idx].astype(jnp.float32)  # [L, g, d]
+        v_s = v_ref[0, s_idx].astype(jnp.float32)
+        if quantized:
+            # int8 KV: dequantize IN VMEM — halves the dominant decode-step
+            # HBM stream (the gen-KV cache read); an XLA-level astype+mul
+            # would materialize the bf16 copy in HBM and erase the saving
+            k_s = k_s * ks_ref[0, s_idx].astype(jnp.float32)[..., None]
+            v_s = v_s * vs_ref[0, s_idx].astype(jnp.float32)[..., None]
+        k3 = k_s.transpose(1, 0, 2)  # [g, L, d]
+        v3 = v_s.transpose(1, 0, 2)
+        m_s = (anc == s_idx)[:, None, :]  # [Kq, 1, L]
+        m3 = jnp.broadcast_to(m_s, (kq, rep, slots)).reshape(1, x, slots)
+        return k3, v3, m3
 
-    # v select: [Kq, L, g, d]
-    v_sel = jnp.sum(
-        jnp.where(onehot[:, :, None, None, :].transpose(0, 1, 4, 2, 3), v[None], 0.0),
-        axis=1,
+    # ancestry-selected scores: sel[g, x, l] = scale * q . k_(anc_l, l)
+    sel = jnp.zeros((groups, x, slots), jnp.float32)
+    masks = []
+    vs = []
+    for s_idx in range(beams):
+        k3, v3, m3 = source(s_idx)
+        s3 = jnp.einsum(
+            "gxd,gld->gxl", qx, k3, preferred_element_type=jnp.float32
+        )
+        sel = sel + jnp.where(m3, s3, 0.0)
+        masks.append(m3)
+        vs.append(v3)
+    sel = sel * scale
+    sel = jnp.where(slot_ok[None, None, :], sel, NEG)
+
+    m = jnp.max(sel, axis=-1)  # [g, x]
+    p = jnp.exp(sel - m[..., None])  # [g, x, L]
+    p = jnp.where(slot_ok[None, None, :], p, 0.0)
+    lsum = jnp.sum(p, axis=-1)  # [g, x]
+
+    # weighted V with the same per-source masks: out[g, x, d]
+    out = jnp.zeros((groups, x, head_dim), jnp.float32)
+    for s_idx in range(beams):
+        out = out + jnp.einsum(
+            "gxl,gld->gxd",
+            jnp.where(masks[s_idx], p, 0.0),
+            vs[s_idx],
+            preferred_element_type=jnp.float32,
+        )
+
+    out_ref[...] = (
+        out.reshape(groups, kq, rep, head_dim)
+        .transpose(1, 0, 2, 3)
+        .reshape(1, kq, heads, head_dim)
     )
-    out = jnp.einsum(
-        "qgrl,qlgd->qgrd", p, v_sel, preferred_element_type=jnp.float32
-    )  # [Kq, g, rep, d]
-
-    out_ref[...] = out.reshape(kq, heads, head_dim)
-    m_ref[...] = m.reshape(kq, heads)
-    l_ref[...] = lsum.reshape(kq, heads)
+    # m/l leave the kernel in [g, Kq*rep] layout — a small-vector rank-3
+    # transpose here crashes the Mosaic compiler; the caller relayouts in XLA.
+    m_ref[...] = m.reshape(1, groups, x)
+    l_ref[...] = lsum.reshape(1, groups, x)
 
 
 def gen_attention_ancestor(
@@ -133,37 +164,55 @@ def gen_attention_ancestor(
         _kernel, beams=beams, heads=h, groups=g, head_dim=d, slots=slots,
         scale=scale, quantized=quantized,
     )
+    # Separate rows into (b, beams, ...) so Mosaic's trailing-two-dims block
+    # check always sees full dims (beams is 5 — neither 8-divisible nor full
+    # as a sublane block over the flat row axis).
     in_specs = [
-        pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
-        pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((beams, slots, g, d), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((beams, slots), lambda i: (i, 0)),
+        pl.BlockSpec((1, beams, h, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, beams, slots, g, d), lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, beams, slots, g, d), lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, beams, slots), lambda i: (i, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    operands = [q, gen_k, gen_v, anc, valid_len.reshape(1, 1).astype(jnp.int32)]
+    operands = [
+        q.reshape(b, beams, h, d),
+        gen_k.reshape(b, beams, slots, g, d),
+        gen_v.reshape(b, beams, slots, g, d),
+        anc.reshape(b, beams, slots),
+        valid_len.reshape(1, 1).astype(jnp.int32),
+    ]
     if quantized:
         in_specs += [
-            pl.BlockSpec((beams, slots, g), lambda i: (i, 0, 0)),
-            pl.BlockSpec((beams, slots, g), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, beams, slots, g), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, beams, slots, g), lambda i: (i, 0, 0, 0)),
         ]
-        operands += [k_scale, v_scale]
+        operands += [
+            k_scale.reshape(b, beams, slots, g),
+            v_scale.reshape(b, beams, slots, g),
+        ]
+    rep = h // g
+    xdim = beams * rep
     out, m, l = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((beams, h), lambda i: (i, 0)),
-            pl.BlockSpec((beams, h), lambda i: (i, 0)),
+            pl.BlockSpec((1, beams, h, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, g, xdim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, g, xdim), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, h, d), jnp.float32),
-            jax.ShapeDtypeStruct((rows, h), jnp.float32),
-            jax.ShapeDtypeStruct((rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, beams, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, xdim), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, xdim), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
-    return out, m, l
+    # m/l come back in kernel-native [g, beams*rep] layout (the in-kernel
+    # relayout crashes Mosaic on these tiny vectors); fix up in XLA.
+    m = m.reshape(b, g, beams, rep).transpose(0, 2, 1, 3).reshape(rows, h)
+    l = l.reshape(b, g, beams, rep).transpose(0, 2, 1, 3).reshape(rows, h)
+    return out.reshape(rows, h, d), m, l
 
 
 def gen_attention_ancestor_ref(
@@ -227,10 +276,10 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _prompt_kernel(
-    q_ref,  # [K, h, d]
+    q_ref,  # [1, K, h, d]
     k_ref,  # [1, g, Tp, d]
     v_ref,  # [1, g, Tp, d]
-    mask_ref,  # [1, Tp] int32
+    mask_ref,  # [1, 1, Tp] int32
     *rest,  # [ks_ref [1, g, Tp], vs_ref,] out_ref, m_ref, l_ref
     beams: int,
     heads: int,
@@ -239,28 +288,37 @@ def _prompt_kernel(
     scale: float,
     quantized: bool,
 ):
+    # Rank <= 3 vector ops + single-batch 3-D einsums only (higher-rank
+    # einsums crash the Mosaic compiler) — q lives in [g, K*rep, d].
     if quantized:
         ks_ref, vs_ref, out_ref, m_ref, l_ref = rest
     else:
         out_ref, m_ref, l_ref = rest
     rep = heads // groups
-    q = q_ref[...].astype(jnp.float32).reshape(beams, groups, rep, head_dim)
+    x = beams * rep
+    q = q_ref[0].astype(jnp.float32).reshape(beams, groups, rep, head_dim)
+    qx = q.transpose(1, 0, 2, 3).reshape(groups, x, head_dim)
     k = k_ref[0].astype(jnp.float32)  # [g, Tp, d]
     v = v_ref[0].astype(jnp.float32)
     if quantized:
         k = k * ks_ref[0].astype(jnp.float32)[..., None]
         v = v * vs_ref[0].astype(jnp.float32)[..., None]
-    s = jnp.einsum("kgrd,gpd->kgrp", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("gxd,gpd->gxp", qx, k, preferred_element_type=jnp.float32)
     s = s * scale
-    ok = mask_ref[0] != 0  # [Tp]
-    s = jnp.where(ok[None, None, None, :], s, NEG)
-    m = jnp.max(s, axis=-1)
-    p = jnp.where(ok[None, None, None, :], jnp.exp(s - m[..., None]), 0.0)
+    ok = mask_ref[0, 0] != 0  # [Tp]
+    s = jnp.where(ok[None, None, :], s, NEG)
+    m = jnp.max(s, axis=-1)  # [g, x]
+    p = jnp.where(ok[None, None, :], jnp.exp(s - m[..., None]), 0.0)
     lsum = jnp.sum(p, axis=-1)
-    out = jnp.einsum("kgrp,gpd->kgrd", p, v, preferred_element_type=jnp.float32)
-    out_ref[...] = out.reshape(beams, heads, head_dim)
-    m_ref[...] = m.reshape(beams, heads)
-    l_ref[...] = lsum.reshape(beams, heads)
+    out = jnp.einsum("gxp,gpd->gxd", p, v, preferred_element_type=jnp.float32)
+    out_ref[...] = (
+        out.reshape(groups, beams, rep, head_dim)
+        .transpose(1, 0, 2, 3)
+        .reshape(1, beams, heads, head_dim)
+    )
+    # m/l leave in [g, beams*rep] layout — see _kernel; caller relayouts.
+    m_ref[...] = m.reshape(1, groups, x)
+    l_ref[...] = lsum.reshape(1, groups, x)
 
 
 def prompt_attention(
@@ -286,35 +344,48 @@ def prompt_attention(
         _prompt_kernel, beams=beams, heads=h, groups=g, head_dim=d,
         scale=scale, quantized=quantized,
     )
+    # Same (b, beams) separation as the gen kernel: trailing block dims must
+    # be full or (8,128)-divisible, and neither beams=5 nor a length-1 mask
+    # sublane block satisfies that over flat row-major layouts.
     in_specs = [
-        pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, beams, h, d), lambda i: (i, 0, 0, 0)),
         pl.BlockSpec((1, g, tp, d), lambda i: (i, 0, 0, 0)),
         pl.BlockSpec((1, g, tp, d), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((1, tp), lambda i: (i, 0)),
+        pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),
     ]
-    operands = [q, prompt_k, prompt_v, prompt_mask.astype(jnp.int32)]
+    operands = [
+        q.reshape(b, beams, h, d),
+        prompt_k,
+        prompt_v,
+        prompt_mask.astype(jnp.int32).reshape(b, 1, tp),
+    ]
     if quantized:
         in_specs += [
             pl.BlockSpec((1, g, tp), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, g, tp), lambda i: (i, 0, 0)),
         ]
         operands += [k_scale, v_scale]
-    return pl.pallas_call(
+    rep = h // g
+    xdim = beams * rep
+    out, m, l = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((beams, h, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((beams, h), lambda i: (i, 0)),
-            pl.BlockSpec((beams, h), lambda i: (i, 0)),
+            pl.BlockSpec((1, beams, h, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, g, xdim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, g, xdim), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, h, d), jnp.float32),
-            jax.ShapeDtypeStruct((rows, h), jnp.float32),
-            jax.ShapeDtypeStruct((rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, beams, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, xdim), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, xdim), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
+    m = m.reshape(b, g, beams, rep).transpose(0, 2, 1, 3).reshape(rows, h)
+    l = l.reshape(b, g, beams, rep).transpose(0, 2, 1, 3).reshape(rows, h)
+    return out.reshape(rows, h, d), m, l
 
 
 def prompt_attention_ref(
