@@ -210,8 +210,11 @@ def main():
         "beam gather",
     )
     parser.add_argument(
-        "--kv-quant", choices=["int8"], default=None,
-        help="int8 KV cache (prompt + gen, VMEM dequant); implies --ancestry",
+        "--kv-quant", choices=["int8", "none"], default=None,
+        help="KV-cache serving format (prompt + gen, VMEM dequant); implies "
+        "--ancestry. Serving default: int8 — measured RTF 292.6x vs 245.7x "
+        "bf16-KV at batch 48 on v5e. Unset + --tiny defaults to none; an "
+        "explicit value always wins.",
     )
     parser.add_argument(
         "--encoder-microbatch", type=int, default=0,
@@ -344,6 +347,13 @@ def main():
         # explicit --quant (even with --tiny) is honoured above
         args.quant = "none" if args.tiny else "int8"
     quant_mode = None if args.quant == "none" else args.quant
+    if args.kv_quant is None:
+        # serving default: int8 KV cache + ancestry decode (RTF 292.6x vs
+        # 245.7x bf16-KV/gather at batch 48, r4 v5e measurement); tiny mode
+        # keeps the exact bf16 cache (interpret-mode kernels, no benefit)
+        args.kv_quant = "none" if args.tiny else "int8"
+    if args.kv_quant == "none":
+        args.kv_quant = None
     # the prefill A/B below compares FLOAT kernels; on quantized runs skip it
     # (keeping the float trunk alongside the quantized copy OOMs a 16 GB chip)
     def sync(x):

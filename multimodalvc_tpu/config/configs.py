@@ -156,6 +156,17 @@ class GenerationConfig:
     # weight-only quantized decode: None | "int8" | "int4" (serving format;
     # reference analog: NF4 4-bit via bitsandbytes, src/model.py:231-238)
     weight_quant: Optional[str] = None
+    # beam reorder strategy: None = auto (ancestry-select decode attention on
+    # TPU — numerically equivalent to the gather reorder and faster; gather
+    # elsewhere); True/False force it (ops/decode_attention.py)
+    ancestry_decode: Optional[bool] = None
+    # KV-cache serving format: None (exact bf16) | "int8" (per-vector
+    # symmetric int8 with in-VMEM dequant — lossy, serving opt-in; implies
+    # the ancestry decode path)
+    kv_cache_quant: Optional[str] = None
+    # run encoders + prompt assembly in N sequential chunks (peak-memory
+    # lever for large serving batches; 0/1 = full batch)
+    encoder_microbatch: int = 0
     # lexically-constrained decoding: None | "unordered" | "ordered"
     # (fairseq --constraints, fairseq/fairseq/search.py:433-814); constraint
     # token lists are supplied per batch through the generate call

@@ -481,7 +481,7 @@ class AVSRSystem:
         length_penalty: float = 1.0,
         no_repeat_ngram_size: int = 0,
         cache_dtype=jnp.bfloat16,
-        ancestry_reorder: bool = False,
+        ancestry_reorder: Optional[bool] = None,
         kv_quant: Optional[str] = None,
         encoder_microbatch: int = 0,
     ):
@@ -491,12 +491,19 @@ class AVSRSystem:
         while-loop decode — jits into ONE XLA program (cached per decode
         config), so a transcription is a single device dispatch.
         ``ancestry_reorder`` switches the beam reorder to the zero-traffic
-        ancestry-select decode attention (ops/decode_attention.py).
+        ancestry-select decode attention (ops/decode_attention.py); it is
+        numerically equivalent to the gather reorder and measurably faster
+        on TPU, so ``None`` (default) resolves to True on a TPU backend and
+        False elsewhere (the CPU/interpret path favours the gather).
+        ``kv_quant="int8"`` additionally serves the KV cache in int8 with
+        in-VMEM dequant — a lossy serving format, so always opt-in.
         ``encoder_microbatch`` > 1 runs the encoders + prompt assembly in
         that many sequential batch chunks (``lax.map``): the video frontend's
         activation transients — the serving peak-memory driver — shrink by
         the chunk factor while the decode still runs at the full batch.
         """
+        if ancestry_reorder is None:
+            ancestry_reorder = bool(kv_quant) or jax.default_backend() == "tpu"
         key = (
             num_beams,
             max_new_tokens,

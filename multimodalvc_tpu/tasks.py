@@ -161,6 +161,9 @@ class AVSRTask:
             max_new_tokens=generation_cfg.max_len,
             length_penalty=generation_cfg.length_penalty,
             no_repeat_ngram_size=generation_cfg.no_repeat_ngram_size,
+            ancestry_reorder=getattr(generation_cfg, "ancestry_decode", None),
+            kv_quant=getattr(generation_cfg, "kv_cache_quant", None),
+            encoder_microbatch=getattr(generation_cfg, "encoder_microbatch", 0),
         )
         best = np.asarray(seqs[:, 0])
         hyps: List[str] = []
