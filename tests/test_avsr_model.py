@@ -105,6 +105,7 @@ def test_avsr_grads_flow_only_to_trainable(rng):
     assert total(lambda p: "lora" in p) > 0.0
 
 
+@pytest.mark.slow  # long-form variant; fast tier keeps merge_token_rows + generate
 def test_generate_long_form_chunks(rng):
     """Long clip -> per-chunk decodes; chunk count tracks per-sample length."""
     import jax
@@ -183,6 +184,7 @@ def test_merge_token_rows():
     assert merge_token_rows([], eos, pad).shape == (0,)
 
 
+@pytest.mark.slow  # microbatch variant of generate; exercised on TPU by bench.py
 def test_generate_encoder_microbatch_matches_full(rng):
     """encoder_microbatch chunks the encoders through lax.map; tokens must
     equal the unchunked program (the decode runs at full batch either way)."""

@@ -241,6 +241,7 @@ def test_constrained_generate_seq2seq_satisfies_constraints(mode, rng):
         assert contains(best[0], [5, 6]) < contains(best[0], [9])
 
 
+@pytest.mark.slow  # edge-case variant; fairseq parity tests stay fast
 def test_constrained_unsatisfiable_returns_best_effort(rng):
     """Constraints that cannot fit in max_new_tokens: the search must return
     the best-effort live hypotheses (fairseq force-finalizes at max-len),

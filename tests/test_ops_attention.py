@@ -72,6 +72,7 @@ def test_flash_kv_window_left_pad(rng):
     )
 
 
+@pytest.mark.slow  # flash prefill is off the default path (XLA wins the A/B)
 def test_llama_flash_prefill_matches_xla(rng):
     """LlamaAttention's flash prefill path == the XLA einsum path on a
     left-padded prompt (VERDICT: route prefill through the Pallas kernel)."""
