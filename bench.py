@@ -234,6 +234,19 @@ def main():
         help="compile the serving program set into the persistent cache and "
         "exit (serving cold-start warmup; see README restart budget)",
     )
+    parser.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="also capture a jax.profiler device trace of one full serving "
+        "invocation into DIR (op-level decode profile; parse with xprof)",
+    )
+    parser.add_argument(
+        "--selftest", action="store_true",
+        help="run every Pallas kernel COMPILED (interpret=False) against its "
+        "jnp oracle on the current backend and exit nonzero on mismatch — "
+        "the same checks as `MMVC_TPU_TESTS=1 pytest -m tpu`. Interpret-mode "
+        "CPU tests cannot catch Mosaic compile failures (commit 9d17ce8); "
+        "run this before trusting a bench number.",
+    )
     args = parser.parse_args()
 
     import jax
@@ -251,6 +264,25 @@ def main():
     # cold vs warm start is the serving-restart budget (VERDICT r2 weak #4):
     # record how much of the program set was already on disk
     cache_entries_at_start = len(_glob.glob("/tmp/mmvc_jax_cache/*"))
+
+    if args.selftest:
+        from multimodalvc_tpu.ops.selftest import run_all
+
+        results = run_all()
+        n_fail = sum(1 for r in results if not r["ok"])
+        print(json.dumps({
+            "metric": "kernel_selftest_failures",
+            "value": n_fail,
+            "unit": "checks",
+            "vs_baseline": 0,
+        }))
+        print(json.dumps({
+            "detail": {
+                "backend": jax.default_backend(),
+                "checks": results,
+            }
+        }))
+        raise SystemExit(1 if n_fail else 0)
 
     from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRModel, AVSRSystem
     from multimodalvc_tpu.nn.llama import generate_beam
@@ -492,6 +524,14 @@ def main():
         sync(decode(variables, b2))
         times.append(time.perf_counter() - t0)
     wall = min(times)
+
+    if args.trace:
+        # one traced invocation of the full serving program (device op-level
+        # profile for the decode-step roofline table; parse the xplane with
+        # xprof/tensorboard_plugin_profile)
+        with jax.profiler.trace(args.trace):
+            sync(decode(variables, batches[0]))
+        print(json.dumps({"trace_dir": args.trace}), file=sys.stderr)
     audio_seconds = b * (t_v / 25.0)
     rtf = audio_seconds / wall
 

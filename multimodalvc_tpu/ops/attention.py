@@ -126,7 +126,13 @@ def _flash_kernel(
         else:
             m_prev = m_scr[:, :1]
             m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_new)
+            # same fully-masked-row guard as the single-block path: when every
+            # column seen so far is masked, s == m_new == NEG_INF and
+            # exp(s - m_new) would be exp(0) = 1 per masked column — the row
+            # would emit mean(V) instead of the contract's exact zeros.
+            # (Caught by the on-TPU tier; interpret suites only exercised
+            # single-kv-block shapes for the left-pad window.)
+            p = jnp.where(m_new > (0.5 * NEG_INF), jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m_prev - m_new)
             l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
             acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(

@@ -70,6 +70,10 @@ def test_flash_kv_window_left_pad(rng):
     np.testing.assert_allclose(
         np.asarray(got) * valid_row, np.asarray(ref) * valid_row, rtol=2e-3, atol=2e-3
     )
+    # fully-masked pad rows must emit EXACT zeros — at multi-kv-block shapes
+    # the online-softmax update once returned mean(V) there (s == m == NEG_INF
+    # so exp(s - m) = 1 per masked column; caught by the on-TPU tier r5)
+    np.testing.assert_array_equal(np.asarray(got) * (~valid_row), 0.0)
 
 
 @pytest.mark.slow  # flash prefill is off the default path (XLA wins the A/B)
