@@ -8,8 +8,13 @@ machines inside the decode `lax.while_loop`
 constrained_beam_search), step-parity-tested against fairseq's own
 LexicallyConstrainedBeamSearch (fairseq/fairseq/search.py:433-814).
 
-Two surfaces:
-  * the product LLaMA decode: `generate_beam(..., constraints=...)`
+Three surfaces:
+  * the product system: `AVSRSystem.generate(constraints=[[phrase_tokens,
+    ...], ...], constraints_mode=...)` — per-batch-row phrase lists, packed
+    host-side; and the eval CLI via `generation.constraints_file=<path>`
+    (line N = tab-separated phrases for manifest sample N, fairseq-cli
+    --constraints semantics) + `generation.constraints=unordered|ordered`
+  * the raw LLaMA decode: `generate_beam(..., constraints=...)`
   * the legacy seq2seq generator: `generate_seq2seq(..., constraints=...)`
 """
 import argparse

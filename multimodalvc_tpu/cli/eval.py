@@ -84,6 +84,28 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
             variables = task.system.enable_quantized_decode(variables, mode=mode)
         logger.info("decoding with %s weight-only LLaMA", mode)
 
+    constraints_by_id = None
+    if cfg.generation.constraints_file:
+        # fairseq-cli --constraints analog (fairseq/fairseq_cli/generate.py):
+        # line N of the file carries the constraint phrases for manifest
+        # sample N, tab-separated; phrases are tokenized with the task
+        # tokenizer (no BOS) and enforced by constrained beam search
+        # (ops/constraints.py + ops/beam_search.constrained_beam_search)
+        tok = ds.tokenizer
+        constraints_by_id = {}
+        with open(cfg.generation.constraints_file) as f:
+            for i, line in enumerate(f):
+                phrases = [p for p in line.rstrip("\n").split("\t") if p.strip()]
+                if phrases:
+                    constraints_by_id[i] = [
+                        tok.encode(p, add_bos=False) for p in phrases
+                    ]
+        mode = cfg.generation.constraints or "unordered"
+        logger.info(
+            "constrained decoding (%s): %d/%d utterances constrained",
+            mode, len(constraints_by_id), len(ds),
+        )
+
     hyps: List[str] = []
     refs: List[str] = []
     results = []
@@ -91,7 +113,10 @@ def _main(cfg: TrainRootConfig, results_path: str = "results") -> Dict[str, floa
         ds, ds.batches(max_tokens=cfg.dataset.max_tokens, batch_size=cfg.dataset.batch_size)
     ):
         batch = task.prepare_batch(raw, train=False)
-        h, r = task.decode_to_text(variables, batch, raw["ids"], ds, cfg.generation)
+        h, r = task.decode_to_text(
+            variables, batch, raw["ids"], ds, cfg.generation,
+            constraints_by_id=constraints_by_id,
+        )
         for sample_id, hyp, ref in zip(raw["ids"], h, r):
             hyps.append(hyp)
             refs.append(ref)

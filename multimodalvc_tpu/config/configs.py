@@ -168,9 +168,14 @@ class GenerationConfig:
     # lever for large serving batches; 0/1 = full batch)
     encoder_microbatch: int = 0
     # lexically-constrained decoding: None | "unordered" | "ordered"
-    # (fairseq --constraints, fairseq/fairseq/search.py:433-814); constraint
-    # token lists are supplied per batch through the generate call
+    # (fairseq-cli --constraints, fairseq/fairseq_cli/generate.py +
+    # fairseq/fairseq/search.py:433-814).  Consumed by cli/eval.py +
+    # tasks.decode_to_text; constraint phrases come from constraints_file
     constraints: Optional[str] = None
+    # per-utterance constraint phrases: line N applies to manifest sample N
+    # (fairseq appends them to each input line; the manifest is our input
+    # order), tab-separated phrases, tokenized with the task tokenizer
+    constraints_file: Optional[str] = None
 
 
 @dataclass

@@ -484,6 +484,8 @@ class AVSRSystem:
         ancestry_reorder: Optional[bool] = None,
         kv_quant: Optional[str] = None,
         encoder_microbatch: int = 0,
+        constraints=None,
+        constraints_mode: str = "unordered",
     ):
         """Beam-search transcription (reference: src/model.py:371-487).
 
@@ -501,9 +503,41 @@ class AVSRSystem:
         that many sequential batch chunks (``lax.map``): the video frontend's
         activation transients — the serving peak-memory driver — shrink by
         the chunk factor while the decode still runs at the full batch.
+
+        ``constraints`` enables lexically-constrained transcription
+        (fairseq-cli ``--constraints``, fairseq/fairseq_cli/generate.py +
+        fairseq/fairseq/search.py:433-814): a per-sample list of constraint
+        phrases, each a list of token ids (one outer entry per batch row;
+        empty list = unconstrained row), or a pre-built
+        ``ops.constraints.TrieArrays`` / ``SequenceArrays``.
+        ``constraints_mode`` is "unordered" (LexicallyConstrainedBeamSearch)
+        or "ordered" (phrases must appear in the given order).
         """
         if ancestry_reorder is None:
             ancestry_reorder = bool(kv_quant) or jax.default_backend() == "tpu"
+        constraint_set = None
+        if constraints is not None:
+            from ..ops.constraints import (
+                SequenceArrays,
+                TrieArrays,
+                build_ordered,
+                build_unordered,
+                pack_constraints,
+            )
+
+            if isinstance(constraints, (TrieArrays, SequenceArrays)):
+                constraint_set = constraints
+            else:
+                packed = pack_constraints(constraints)
+                build = (
+                    build_ordered if constraints_mode == "ordered" else build_unordered
+                )
+                constraint_set = build(packed)
+            # constrained decode runs physical-gather beam reorder inside
+            # constrained_beam_search; ancestry/int8-KV fast paths are the
+            # unconstrained serving loop's
+            ancestry_reorder = False
+            kv_quant = None
         key = (
             num_beams,
             max_new_tokens,
@@ -515,6 +549,11 @@ class AVSRSystem:
             ancestry_reorder,
             kv_quant,
             encoder_microbatch,
+            # constraint trie shapes + the static rewind bound retrace the
+            # program; the array CONTENTS flow in as jit args below
+            (type(constraint_set).__name__, constraint_set.max_depth, constraints_mode)
+            if constraint_set is not None
+            else None,
         )
         if key not in self._gen_cache:
 
@@ -545,7 +584,12 @@ class AVSRSystem:
                     v, batch, method=AVSRModel.prompt_for_generation
                 )
 
-            def _gen(variables, batch):
+            cset_type = type(constraint_set) if constraint_set is not None else None
+            static_depth = (
+                constraint_set.max_depth if constraint_set is not None else None
+            )
+
+            def _gen(variables, batch, cset_arrays):
                 # variables may be a LIST of trees — a checkpoint ensemble
                 # (reference: checkpoint_utils.load_model_ensemble_and_task;
                 # log-prob averaging happens inside generate_beam). Each
@@ -559,6 +603,11 @@ class AVSRSystem:
                     lvars.append({"params": v["params"]["llama"]})
                 if len(ens) == 1:
                     embs, masks, lvars = embs[0], masks[0], lvars[0]
+                cset = None
+                if cset_arrays is not None:
+                    # reattach the static rewind bound (max_depth drives a
+                    # fori_loop trip count, so it must stay a Python int)
+                    cset = cset_type(*cset_arrays, max_depth=static_depth)
                 return generate_beam(
                     self.llama_module,
                     lvars,
@@ -573,10 +622,15 @@ class AVSRSystem:
                     cache_dtype=cache_dtype,
                     ancestry_reorder=ancestry_reorder,
                     kv_quant=kv_quant,
+                    constraints=cset,
+                    constraints_mode=constraints_mode,
                 )
 
             self._gen_cache[key] = jax.jit(_gen)
-        return self._gen_cache[key](variables, batch)
+        cset_arrays = (
+            tuple(constraint_set)[:-1] if constraint_set is not None else None
+        )
+        return self._gen_cache[key](variables, batch, cset_arrays)
 
     def generate_long_form(
         self,

@@ -143,17 +143,31 @@ class AVSRTask:
         ids,
         dataset,
         generation_cfg,
+        constraints_by_id=None,
     ):
         """Beam-decode one prepared batch to (hypotheses, references) text.
 
         Shared by eval (src/eval.py:195-262) and validation-time WER
         (src/criterion.py:100-134 decodes with beam search at every valid
         step so training can select the best checkpoint by WER).
+
+        ``constraints_by_id`` maps manifest sample id -> list of constraint
+        token lists for lexically-constrained decoding (fairseq-cli
+        --constraints; built from generation.constraints_file by cli/eval.py).
         """
         tok = dataset.tokenizer
         gen_batch = {
             k: v for k, v in batch.items() if k not in ("labels", "label_lengths")
         }
+        cons_kw = {}
+        if constraints_by_id:
+            batch_cons = [constraints_by_id.get(int(i), []) for i in ids]
+            if any(batch_cons):  # all-unconstrained batches keep the fast path
+                cons_kw = dict(
+                    constraints=batch_cons,
+                    constraints_mode=getattr(generation_cfg, "constraints", None)
+                    or "unordered",
+                )
         seqs, _ = self.system.generate(
             variables,
             gen_batch,
@@ -164,6 +178,7 @@ class AVSRTask:
             ancestry_reorder=getattr(generation_cfg, "ancestry_decode", None),
             kv_quant=getattr(generation_cfg, "kv_cache_quant", None),
             encoder_microbatch=getattr(generation_cfg, "encoder_microbatch", 0),
+            **cons_kw,
         )
         best = np.asarray(seqs[:, 0])
         hyps: List[str] = []
