@@ -8,6 +8,7 @@ manifest/update_dataset_paths.py.
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import logging
 import os
@@ -291,24 +292,130 @@ def cmd_align_mouth(args):
     print(f"wrote {rois.shape} -> {args.out}")
 
 
+def _read_feature_dump(prefix: str):
+    """Read a dump-features output: {prefix}.npy [sum_T, D] + {prefix}.len
+    (per-clip frame counts, one per manifest row)."""
+    feats = np.load(prefix + ".npy")
+    with open(prefix + ".len") as f:
+        lens = [int(x) for x in f.read().split()]
+    if sum(lens) != len(feats):
+        raise ValueError(
+            f"{prefix}.len sums to {sum(lens)} but {prefix}.npy has {len(feats)} rows"
+        )
+    return feats, lens
+
+
+def cmd_dump_features(args):
+    """Extract intermediate AV-HuBERT activations over a manifest for
+    iteration-2+ k-means labels (avhubert/clustering/dump_hubert_feature.py
+    analog — HubertFeatureReader.get_feats with mask=False; --layer 0 dumps
+    the fused frontend features, the reference's ret_conv=True).  Writes
+    {out}.npy (concatenated [sum_T, D]) + {out}.len (per-clip frame counts),
+    the same two-file format the reference's NpyAppendArray dump uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import (  # noqa: F401 — registers model classes
+        avhubert_pretrain as _avh_pre,
+        avsr as _avsr,
+    )
+    from ..config.registry import get_class, get_config_class
+    from ..data.audio import read_wav, stacked_logfbank_np
+    from ..data.manifest import load_manifest
+    from ..data.video import load_video_frames, transform_video
+    from ..runtime.checkpoint import CheckpointManager
+
+    model_cfg_cls = get_config_class("model", args.model)
+    model_cfg = (
+        getattr(model_cfg_cls, args.preset)() if args.preset else model_cfg_cls()
+    )
+    system = get_class("model", args.model).from_config(model_cfg)
+
+    manifest = load_manifest(args.tsv, max_keep_frames=args.max_frames)
+
+    def clip_arrays(e):
+        root = manifest.root
+        vp = e.video_path if os.path.isabs(e.video_path) else os.path.join(root, e.video_path)
+        ap = e.audio_path if os.path.isabs(e.audio_path) else os.path.join(root, e.audio_path)
+        video = transform_video(
+            load_video_frames(vp), crop_size=args.crop_size, train=False
+        )
+        audio = stacked_logfbank_np(read_wav(ap))
+        t = min(len(video), len(audio))
+        return video[:t], audio[:t], t
+
+    # init from the first clip, then restore trained params
+    v0, a0, t0 = clip_arrays(manifest.entries[0])
+    dummy = dict(
+        audio=jnp.asarray(a0[None]),
+        video=jnp.asarray(v0[None]),
+        targets=jnp.zeros((1, t0), jnp.int32),
+        lengths=jnp.asarray([t0], jnp.int32),
+    )
+    variables = system.module.init(jax.random.PRNGKey(0), train=False, **dummy)
+    template = {
+        "params": variables["params"],
+        "collections": {k: v for k, v in variables.items() if k != "params"},
+    }
+    ckpt = CheckpointManager(args.ckpt)
+    restored = ckpt.restore(template, name=args.ckpt_name)
+    if restored is None:
+        raise FileNotFoundError(f"no {args.ckpt_name} under {args.ckpt}")
+    model_vars = {"params": restored["params"], **restored["collections"]}
+
+    @functools.partial(jax.jit, static_argnames=("layer",))
+    def extract(model_vars, audio, video, lengths, layer):
+        return system.module.apply(
+            model_vars, audio=audio, video=video,
+            targets=jnp.zeros(audio.shape[:2], jnp.int32), lengths=lengths,
+            train=False, output_layer=layer,
+        )
+
+    feats, lens = [], []
+    for e in manifest.entries:
+        video, audio, t = clip_arrays(e)
+        # pad to a multiple of 32 frames so XLA reuses a few compiled programs
+        tp = ((t + 31) // 32) * 32
+        video = np.pad(video, ((0, tp - t),) + ((0, 0),) * (video.ndim - 1))
+        audio = np.pad(audio, ((0, tp - t), (0, 0)))
+        h = extract(
+            model_vars, jnp.asarray(audio[None]), jnp.asarray(video[None]),
+            jnp.asarray([t], jnp.int32), args.layer,
+        )
+        feats.append(np.asarray(h[0, :t], np.float32))
+        lens.append(t)
+    out = np.concatenate(feats, axis=0)
+    np.save(args.out + ".npy", out)
+    with open(args.out + ".len", "w") as f:
+        f.write("\n".join(map(str, lens)) + "\n")
+    print(
+        f"dumped layer-{args.layer} features for {len(lens)} clips "
+        f"({out.shape[0]} frames x {out.shape[1]}) -> {args.out}.npy/.len"
+    )
+
+
 def cmd_learn_kmeans(args):
-    """Fit mini-batch k-means on MFCCs over a manifest and save centroids
-    (reference: avhubert/clustering/{dump_mfcc_feature,learn_kmeans}.py —
-    here feature extraction + Lloyd updates run in one pass on device)."""
+    """Fit mini-batch k-means and save centroids (reference:
+    avhubert/clustering/{dump_mfcc_feature,learn_kmeans}.py).  Features are
+    MFCCs computed from --tsv (iteration 1) or a dump-features output via
+    --features (iteration 2+, model activations)."""
     from ..data.audio import read_wav
     from ..data.clustering import MiniBatchKMeans, mfcc_np
 
-    feats = []
-    with open(args.tsv) as f:
-        root = f.readline().strip()
-        for line in f:
-            cols = line.rstrip("\n").split("\t")
-            if len(cols) < 3:
-                continue
-            audio = cols[2].split(":")[0]
-            path = audio if os.path.isabs(audio) else os.path.join(root, audio)
-            feats.append(mfcc_np(read_wav(path)))
-    all_feats = np.concatenate(feats, axis=0)
+    if args.features:
+        all_feats, _ = _read_feature_dump(args.features)
+    else:
+        feats = []
+        with open(args.tsv) as f:
+            root = f.readline().strip()
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) < 3:
+                    continue
+                audio = cols[2].split(":")[0]
+                path = audio if os.path.isabs(audio) else os.path.join(root, audio)
+                feats.append(mfcc_np(read_wav(path)))
+        all_feats = np.concatenate(feats, axis=0)
     if 0 < args.percent < 1.0:
         rng = np.random.default_rng(0)
         keep = rng.choice(len(all_feats), int(len(all_feats) * args.percent), replace=False)
@@ -322,11 +429,22 @@ def cmd_learn_kmeans(args):
 
 def cmd_dump_labels(args):
     """Write per-clip k-means labels (.km) for pretraining
-    (avhubert/clustering/dump_km_label.py analog)."""
+    (avhubert/clustering/dump_km_label.py analog).  With --features, labels
+    come from dumped model activations (iteration 2+) instead of MFCCs."""
     from ..data.clustering import MiniBatchKMeans, dump_labels_for_manifest
 
     km = MiniBatchKMeans.load(args.centroids)
-    n = dump_labels_for_manifest(args.tsv, km, args.out)
+    if args.features:
+        feats, lens = _read_feature_dump(args.features)
+        labels = km.predict(feats)
+        n, off = 0, 0
+        with open(args.out, "w") as out:
+            for t in lens:
+                out.write(" ".join(map(str, labels[off : off + t].tolist())) + "\n")
+                off += t
+                n += 1
+    else:
+        n = dump_labels_for_manifest(args.tsv, km, args.out)
     print(f"wrote {n} label rows -> {args.out}")
 
 
@@ -373,8 +491,26 @@ def main():
     am.add_argument("--out", required=True)
     am.set_defaults(fn=cmd_align_mouth)
 
+    df = sub.add_parser(
+        "dump-features",
+        help="dump intermediate AV-HuBERT activations for iteration-2 k-means",
+    )
+    df.add_argument("--tsv", required=True)
+    df.add_argument("--ckpt", required=True, help="checkpoint save_dir")
+    df.add_argument("--ckpt-name", default="checkpoint_last")
+    df.add_argument("--model", default="av_hubert_pretrain")
+    df.add_argument("--preset", default=None, help="model config preset (e.g. tiny)")
+    df.add_argument("--layer", type=int, default=12,
+                    help="encoder layer (1-indexed); 0 = frontend features")
+    df.add_argument("--max-frames", type=int, default=500)
+    df.add_argument("--crop-size", type=int, default=88)
+    df.add_argument("--out", required=True, help="output prefix ({out}.npy/.len)")
+    df.set_defaults(fn=cmd_dump_features)
+
     kk = sub.add_parser("learn-kmeans", help="fit k-means on MFCCs for pretraining labels")
-    kk.add_argument("--tsv", required=True)
+    kk.add_argument("--tsv", default=None)
+    kk.add_argument("--features", default=None,
+                    help="dump-features prefix (iteration-2 model activations)")
     kk.add_argument("--clusters", type=int, default=500)
     kk.add_argument("--epochs", type=int, default=5)
     kk.add_argument("--batch-size", type=int, default=10000)
@@ -383,7 +519,9 @@ def main():
     kk.set_defaults(fn=cmd_learn_kmeans)
 
     kl = sub.add_parser("dump-labels", help="write per-clip k-means labels (.km)")
-    kl.add_argument("--tsv", required=True)
+    kl.add_argument("--tsv", default=None)
+    kl.add_argument("--features", default=None,
+                    help="dump-features prefix (iteration-2 model activations)")
     kl.add_argument("--centroids", required=True)
     kl.add_argument("--out", required=True)
     kl.set_defaults(fn=cmd_dump_labels)

@@ -58,7 +58,15 @@ class AVHubertPretrainModel(nn.Module):
         targets: jnp.ndarray,  # [B, T] int cluster labels
         lengths: jnp.ndarray,  # [B]
         train: bool = True,
+        output_layer: Optional[int] = None,  # feature-dump mode (see below)
     ) -> Dict[str, jnp.ndarray]:
+        """``output_layer`` switches to feature-extraction mode for the
+        iteration-2+ clustering pipeline (reference:
+        avhubert/clustering/dump_hubert_feature.py
+        HubertFeatureReader.get_feats — extract_features with mask=False):
+        no span masking is applied and the return value is the [B, T, D]
+        hidden state after that encoder layer (0 = the fused frontend
+        features, the reference's ret_conv=True)."""
         cfg = self.cfg
         ec = cfg.encoder
         d = ec.encoder_embed_dim
@@ -81,10 +89,13 @@ class AVHubertPretrainModel(nn.Module):
         if x.shape[-1] != d:
             x = nn.Dense(d, dtype=self.dtype, name="post_extract_proj")(x)
 
+        if output_layer == 0:
+            return x  # frontend features (ret_conv=True analog)
+
         # --- span masking on fused features (masking_type='feature') --------
         b, t = x.shape[:2]
         mask_emb = self.param("mask_emb", nn.initializers.uniform(1.0), (d,))
-        if train:
+        if train and output_layer is None:
             rng = self.make_rng("mask")
             mask = compute_span_mask(
                 rng, b, t, lengths, cfg.mask_prob, cfg.mask_length
@@ -100,7 +111,9 @@ class AVHubertPretrainModel(nn.Module):
             layer_norm_first=ec.layer_norm_first,
             dtype=self.dtype,
             name="encoder",
-        )(x, lengths=lengths, deterministic=not train)
+        )(x, lengths=lengths, deterministic=not train, output_layer=output_layer)
+        if output_layer is not None:
+            return x
 
         # --- cosine-similarity logits over label embeddings ------------------
         proj = nn.Dense(cfg.final_dim, dtype=self.dtype, name="final_proj")(x)

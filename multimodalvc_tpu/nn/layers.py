@@ -240,7 +240,14 @@ class TransformerEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, lengths=None, deterministic: bool = True):
+    def __call__(
+        self, x, *, lengths=None, deterministic: bool = True, output_layer=None
+    ):
+        """``output_layer=N`` returns the hidden state after the N-th layer
+        (1-indexed) WITHOUT the final pre-LN LayerNorm — fairseq
+        TransformerEncoder.extract_features(tgt_layer) semantics, used by the
+        iteration-2 clustering feature dump
+        (avhubert/clustering/dump_hubert_feature.py)."""
         if lengths is not None:
             x = x * (jnp.arange(x.shape[1])[None, :, None] < lengths[:, None, None]).astype(x.dtype)
         x = x + ConvPositionalEmbedding(
@@ -264,6 +271,8 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, kv_lens=lengths, deterministic=deterministic)
+            if output_layer is not None and i + 1 == output_layer:
+                return x
         if self.layer_norm_first:
             x = ln(x)
         return x
