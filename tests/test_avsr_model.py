@@ -56,11 +56,20 @@ def test_assemble_left_padded(rng):
     assert list(np.asarray(labels[1])) == [IGNORE_INDEX] * 10 + [21, 22]
 
 
-def test_avsr_forward_and_generate(rng):
+@pytest.fixture(scope="module")
+def tiny_avsr():
+    """One tiny AVSR system + init shared module-wide: the init and the
+    compiled generate programs (cached per decode config on the system) are
+    the dominant cost of every test here."""
     cfg = AVSRConfig.tiny()
     system = AVSRSystem(cfg)
-    batch = make_batch(rng, cfg)
+    batch = make_batch(np.random.default_rng(0), cfg)
     variables = system.init(jax.random.PRNGKey(0), batch)
+    return cfg, system, variables, batch
+
+
+def test_avsr_forward_and_generate(tiny_avsr):
+    cfg, system, variables, batch = tiny_avsr
     (loss, aux), _ = jax.jit(
         lambda v, b: system.loss_fn(v, b), static_argnums=()
     )(variables, batch), None
@@ -77,13 +86,36 @@ def test_avsr_forward_and_generate(rng):
     assert np.all(np.asarray(scores)[:, 0] >= np.asarray(scores)[:, 1] - 1e-6)
 
 
+def test_avsr_generate_with_constraints(tiny_avsr):
+    """Product surface of lexically-constrained decoding: forced phrases must
+    appear in the best hypothesis (fairseq-cli --constraints; plumbing
+    AVSRSystem.generate -> generate_beam -> constrained_beam_search)."""
+    cfg, system, variables, batch = tiny_avsr
+    # row 0: one 2-token phrase; row 1: unconstrained
+    constraints = [[[17, 23]], []]
+    seqs, _ = system.generate(
+        variables, batch, num_beams=4, max_new_tokens=6,
+        cache_dtype=jnp.float32, constraints=constraints,
+    )
+    best = [r.tolist() for r in np.asarray(seqs[:, 0])]
+    assert any(
+        best[0][i : i + 2] == [17, 23] for i in range(len(best[0]) - 1)
+    ), best[0]
+    # ordered mode retraces with its own program (SequenceArrays)
+    seqs_o, _ = system.generate(
+        variables, batch, num_beams=4, max_new_tokens=6,
+        cache_dtype=jnp.float32, constraints=[[[31], [12]], []],
+        constraints_mode="ordered",
+    )
+    row = np.asarray(seqs_o[0, 0]).tolist()
+    i31 = row.index(31) if 31 in row else -1
+    assert i31 >= 0 and 12 in row[i31 + 1 :], row
+
+
 @pytest.mark.slow
-def test_avsr_grads_flow_only_to_trainable(rng):
+def test_avsr_grads_flow_only_to_trainable(tiny_avsr):
     """Frozen encoders (whisper/avhubert/sr) get zero grads via stop_gradient."""
-    cfg = AVSRConfig.tiny()
-    system = AVSRSystem(cfg)
-    batch = make_batch(rng, cfg)
-    variables = system.init(jax.random.PRNGKey(0), batch)
+    cfg, system, variables, batch = tiny_avsr
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
 
@@ -106,16 +138,9 @@ def test_avsr_grads_flow_only_to_trainable(rng):
 
 
 @pytest.mark.slow  # long-form variant; fast tier keeps merge_token_rows + generate
-def test_generate_long_form_chunks(rng):
+def test_generate_long_form_chunks(tiny_avsr):
     """Long clip -> per-chunk decodes; chunk count tracks per-sample length."""
-    import jax
-
-    from multimodalvc_tpu.models.avsr import AVSRConfig, AVSRSystem
-
-    cfg = AVSRConfig.tiny()
-    system = AVSRSystem(cfg)
-    batch = make_batch(rng, cfg)
-    variables = system.init(jax.random.PRNGKey(0), batch)
+    cfg, system, variables, batch = tiny_avsr
 
     t_long = 3 * cfg.max_video_frames
     long_batch = {
@@ -159,6 +184,83 @@ def test_generate_long_form_chunks(rng):
         )
 
 
+@pytest.mark.slow  # three extra tiny decode programs
+def test_generate_long_form_ground_truth(tiny_avsr):
+    """Stitching correctness with a KNOWN answer: periodic inputs make every
+    chunk window bit-identical, so each chunk must decode to the same tokens
+    as a direct single-window generate() — any error in the video/audio
+    window offsets (video stride vs the 4x mel stride) breaks the equality.
+    The overlapped variant is the deliberate chunk-boundary repeat case: the
+    whisper-style merge must deduplicate the full repeat."""
+    from multimodalvc_tpu.models.avsr import merge_token_rows
+
+    cfg, system, variables, batch = tiny_avsr
+    t = cfg.max_video_frames  # 16
+    b = 2
+    rng2 = np.random.default_rng(7)
+    v_period = rng2.standard_normal((b, t, 24, 24, 1)).astype(np.float32)
+    a_period = rng2.standard_normal((b, cfg.whisper.n_mels, 4 * t)).astype(np.float32)
+    long_batch = {
+        "video": jnp.asarray(np.tile(v_period, (1, 2, 1, 1, 1))),
+        "video_lengths": jnp.asarray([2 * t] * b, jnp.int32),
+        "audio_feats": jnp.asarray(np.tile(a_period, (1, 1, 3))),
+        "instruction": batch["instruction"],
+    }
+    gen_kw = dict(num_beams=2, max_new_tokens=4, cache_dtype=jnp.float32)
+
+    # ground truth: ONE window decoded directly
+    direct_batch = {
+        "video": jnp.asarray(v_period),
+        "video_lengths": jnp.asarray([t] * b, jnp.int32),
+        "audio_feats": long_batch["audio_feats"][..., : 2 * cfg.whisper.max_frames],
+        "instruction": batch["instruction"],
+    }
+    seqs, _ = system.generate(variables, direct_batch, **gen_kw)
+    want = np.asarray(seqs[:, 0])
+
+    texts = system.generate_long_form(
+        variables, long_batch, chunk_frames=t, merge=False, **gen_kw
+    )
+    for i in range(b):
+        assert len(texts[i]) == 2
+        np.testing.assert_array_equal(texts[i][0], want[i])  # window extraction
+        np.testing.assert_array_equal(texts[i][1], want[i])  # offset slicing
+    # non-overlapping merge concatenates the two (identical) transcripts
+    merged = system.generate_long_form(
+        variables, long_batch, chunk_frames=t, **gen_kw
+    )
+    for i in range(b):
+        one = merge_token_rows([want[i]], cfg.eos_token_id, cfg.pad_token_id)
+        np.testing.assert_array_equal(merged[i], np.concatenate([one, one]))
+
+    # deliberate boundary repeat: stride-periodic input + overlap -> every
+    # window identical -> dedup must collapse the repeats to ONE transcript
+    stride = t // 2
+    v8 = v_period[:, :stride]
+    a8 = a_period[..., : 4 * stride]
+    rep_batch = {
+        "video": jnp.asarray(np.tile(v8, (1, 4, 1, 1, 1))),
+        "video_lengths": jnp.asarray([2 * t] * b, jnp.int32),
+        "audio_feats": jnp.asarray(np.tile(a8, (1, 1, 6))),
+        "instruction": batch["instruction"],
+    }
+    merged_rep = system.generate_long_form(
+        variables, rep_batch, chunk_frames=t, overlap_frames=t - stride, **gen_kw
+    )
+    raw_rep = system.generate_long_form(
+        variables, rep_batch, chunk_frames=t, overlap_frames=t - stride,
+        merge=False, **gen_kw,
+    )
+    for i in range(b):
+        assert len(raw_rep[i]) == 3
+        for row in raw_rep[i][1:]:
+            np.testing.assert_array_equal(row, raw_rep[i][0])
+        one = merge_token_rows(
+            [raw_rep[i][0]], cfg.eos_token_id, cfg.pad_token_id
+        )
+        np.testing.assert_array_equal(merged_rep[i], one)
+
+
 def test_merge_token_rows():
     from multimodalvc_tpu.models.avsr import merge_token_rows
 
@@ -185,16 +287,11 @@ def test_merge_token_rows():
 
 
 @pytest.mark.slow  # microbatch variant of generate; exercised on TPU by bench.py
-def test_generate_encoder_microbatch_matches_full(rng):
+def test_generate_encoder_microbatch_matches_full(tiny_avsr):
     """encoder_microbatch chunks the encoders through lax.map; tokens must
     equal the unchunked program (the decode runs at full batch either way)."""
-    cfg = AVSRConfig.tiny()
-    system = AVSRSystem(cfg)
-    batch = make_batch(rng, cfg)
-    batch.pop("labels"), batch.pop("label_lengths")
-    variables = system.init(jax.random.PRNGKey(0), {**batch,
-        "labels": jnp.zeros((2, 4), jnp.int32),
-        "label_lengths": jnp.ones((2,), jnp.int32)})
+    cfg, system, variables, batch = tiny_avsr
+    batch = {k: v for k, v in batch.items() if k not in ("labels", "label_lengths")}
     kw = dict(num_beams=2, max_new_tokens=4)
     s1, sc1 = system.generate(variables, batch, **kw)
     s2, sc2 = system.generate(variables, batch, encoder_microbatch=2, **kw)

@@ -84,6 +84,38 @@ def test_cli_train_then_eval(corpus, tmp_path):
     assert "wer" in res_q and np.isfinite(res_q["wer"])
 
 
+def test_cli_eval_with_constraints(corpus, tmp_path):
+    """fairseq-cli --constraints analog: generation.constraints_file forces
+    per-utterance phrases through constrained beam search and the forced
+    phrase must appear in the written hypotheses
+    (fairseq/fairseq_cli/generate.py + fairseq/fairseq/search.py:433-814)."""
+    import json
+
+    root, noise = corpus
+    save_dir = str(tmp_path / "ckpt_cons")
+    cfg = _cfg(root, noise, save_dir)
+    cfg.optimization.max_update = 1  # eval decodes from near-random weights —
+    # exactly the case where an unconstrained beam would never emit the phrase
+    train_main(cfg)
+
+    cons_path = str(tmp_path / "constraints.txt")
+    with open(cons_path, "w") as f:
+        # line N <-> manifest sample N; sample 0 gets a forced phrase, the
+        # rest stay unconstrained (keeps the mixed-batch path honest)
+        f.write("zq\n" + "\n" * 5)
+    cfg.generation.constraints_file = cons_path
+    cfg.generation.constraints = "unordered"
+    res = eval_main(cfg, results_path=str(tmp_path / "results_cons"))
+    assert np.isfinite(res["wer"])
+    hypo_file = [
+        f for f in os.listdir(tmp_path / "results_cons") if f.startswith("hypo-")
+    ][0]
+    with open(tmp_path / "results_cons" / hypo_file) as f:
+        results = json.load(f)
+    by_id = {r["id"]: r["hypo"] for r in results}
+    assert "zq" in by_id[0], by_id
+
+
 def test_cli_e2e_gan_train(corpus, tmp_path):
     """E2E waveform GAN fine-tune through the CLI on the synthetic corpus."""
     root, _ = corpus
@@ -226,6 +258,39 @@ def test_cli_avhubert_pretraining(corpus, tmp_path):
     val = train_main(cfg)
     assert np.isfinite(val["loss"]) and 0.0 <= val["accuracy"] <= 1.0
     assert os.path.exists(os.path.join(save_dir, "checkpoint_last"))
+
+    # iteration-2 clustering: dump intermediate features from the trained
+    # model, re-fit k-means on them, and produce second-iteration .km labels
+    # (avhubert/clustering/dump_hubert_feature.py analog)
+    feat_prefix = str(tmp_path / "feats_l1")
+    subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.manifest_tools", "dump-features",
+         "--tsv", f"{root}/train.tsv", "--ckpt", save_dir, "--preset", "tiny",
+         "--layer", "1", "--crop-size", "24", "--out", feat_prefix],
+        check=True, capture_output=True, cwd=repo, env=env,
+    )
+    feats = np.load(feat_prefix + ".npy")
+    with open(feat_prefix + ".len") as f:
+        lens = [int(x) for x in f.read().split()]
+    assert len(lens) == 6 and sum(lens) == len(feats) and feats.ndim == 2
+    cent2 = str(tmp_path / "cent2.npy")
+    subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.manifest_tools", "learn-kmeans",
+         "--features", feat_prefix, "--clusters", "4", "--epochs", "1",
+         "--batch-size", "256", "--out", cent2],
+        check=True, capture_output=True, cwd=repo, env=env,
+    )
+    km2 = str(tmp_path / "train_iter2.km")
+    subprocess.run(
+        [sys.executable, "-m", "multimodalvc_tpu.cli.manifest_tools", "dump-labels",
+         "--features", feat_prefix, "--centroids", cent2, "--out", km2],
+        check=True, capture_output=True, cwd=repo, env=env,
+    )
+    with open(km2) as f:
+        rows = f.read().splitlines()
+    assert len(rows) == 6
+    assert [len(r.split()) for r in rows] == lens
+    assert all(0 <= int(t) < 4 for r in rows for t in r.split())
 
 
 def test_cli_dummy_benchmark_task(tmp_path):

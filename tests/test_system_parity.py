@@ -712,7 +712,8 @@ def _build_ref_nollm(parts, e2e: bool):
     return ref
 
 
-@pytest.mark.slow
+# NOT slow-marked: one full-system parity proof runs on every `pytest -q`
+# (the cheapest — no HF LLaMA build); the other three stay under --runslow
 def test_speech_nollm_forward_parity_vs_reference(reference_system):
     """SpeechNoLLMModel vs MMS_Speech_NoLLM.forward_speech
     (src/modelSpeechNoLLM.py:253-491) in the 'av' mode and in a FORCED
