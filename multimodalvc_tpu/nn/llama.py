@@ -62,14 +62,14 @@ class LlamaConfig:
     # FLOPs; reference analog: modules/checkpoint_activations.py)
     remat: bool = False
     # Pallas flash kernel for the prefill/training self-attention.
-    # None = auto, which currently resolves to the XLA einsum path at every
-    # measured shape: a v5e A/B sweep of the full trunk forward (bf16, GQA
-    # 24/8, hd=128) put flash at 1.06-1.26x SLOWER than XLA attention across
-    # (b=1,t=130), (8,130), (32,130), (8,512), (1,1024) — XLA's fused
-    # attention keeps the short-prompt score tiles in VMEM already, and the
-    # kernel pays a GQA KV repeat.  True forces the Pallas kernel (it remains
-    # the win for the long-sequence encoders, ops/attention.py); False pins
-    # XLA.  bench.py records the 500-slot A/B every run as a regression tripwire.
+    # None = auto: the single-kv-block flash schedule where it measured
+    # faster than XLA fused attention (padded t >= 512 AND batch*t >= 4096 —
+    # r5 v5e amortized A/B: [4,1024] 1.84x, [16,512] 1.52x, [32,512] 1.60x,
+    # [48,512] 1.62x, [8,512] 1.36x), XLA everywhere else (short prompts:
+    # [32,130] flash is 2x slower — XLA keeps the small score tiles in VMEM
+    # and the kernel pays a GQA KV repeat; b=1 is a tie).  True forces the
+    # kernel, False pins XLA.  bench.py records the 500-slot A/B every run
+    # as a regression tripwire.
     use_flash_prefill: Optional[bool] = None
     # weight-only serving quantization: None (bf16), "int8" (per-channel
     # scales), or "int4" (group-128 scales, nibble-packed) — dense kernels
@@ -211,7 +211,9 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
 
-    def _flash_prefill_ok(self, t: int, tkv: int, head_dim: int) -> bool:
+    def _flash_prefill_ok(
+        self, t: int, tkv: int, head_dim: int, batch: int = 0
+    ) -> bool:
         """Static gate for the Pallas flash self-attention path.
 
         Requires the window to be exactly the fresh sequence (t == tkv) with
@@ -222,10 +224,15 @@ class LlamaAttention(nn.Module):
         """
         enabled = self.cfg.use_flash_prefill
         if enabled is None:
-            # measured on v5e: XLA fused attention beats the Pallas kernel at
-            # every serving/training prompt shape (see LlamaConfig note), so
-            # auto means XLA until a shape class proves otherwise
-            enabled = False
+            # r5 v5e A/B (amortized, causal d=128): the single-kv-block flash
+            # schedule (ops/attention.py) beats XLA fused attention 1.4-1.8x
+            # once the prompt is long AND the work amortizes the kernel entry
+            # — [4,1024] 1.84x, [16,512] 1.52x, [32,512] 1.60x, [48,512]
+            # 1.62x, [8,512] 1.36x — ties at b=1 and LOSES at t <= 256
+            # ([32,130] 0.50x, [48,180] 0.63x), so auto enables exactly the
+            # measured win region; short serving prompts keep XLA
+            t_padded = -(-t // 128) * 128
+            enabled = t_padded >= 512 and batch * t >= 4096
         return bool(enabled) and t == tkv and t > 1 and head_dim % 64 == 0
 
     def _flash_self(self, q, k, v, attn_mask, rep: int):
@@ -450,7 +457,7 @@ class LlamaAttention(nn.Module):
             ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
             cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
             new_cache = {"k": ck, "v": cv, "index": idx + t}
-            if self._flash_prefill_ok(t, ck.shape[2], hd):
+            if self._flash_prefill_ok(t, ck.shape[2], hd, batch=b):
                 # generate prefill (cache spans exactly the prompt, slots are
                 # identity): attend over the fresh k/v with the Pallas kernel
                 out = self._flash_self(q, k, v, attn_mask, rep)
@@ -461,7 +468,7 @@ class LlamaAttention(nn.Module):
                 )(out, deterministic)
                 return out, new_cache
             k, v = ck, cv
-        elif cache_positions is None and self._flash_prefill_ok(t, k.shape[2], hd):
+        elif cache_positions is None and self._flash_prefill_ok(t, k.shape[2], hd, batch=b):
             # training/validation forward (positions are arange, so causality
             # on slots == causality on row index): left-pad mask folds into a
             # per-row [start, T) window inside the kernel — the [T, T] score

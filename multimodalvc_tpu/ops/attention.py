@@ -214,6 +214,15 @@ def flash_attention(
             auto_q = auto_k = 768 if pad768 <= pad512 else 512
         elif d <= 64 and tq >= 384:
             auto_q, auto_k = 256, 256
+        elif d <= 128 and tq >= 384 and tk_p <= 1536:
+            # d=128 (LLaMA prefill): the same single-kv-block schedule wins
+            # once the work amortizes the kernel entry — r5 v5e A/B vs XLA
+            # fused attention (causal, 24 heads): [4,1024] 1.65 -> 0.90 ms,
+            # [16,512] 1.72 -> 1.13, [32,512] 3.10 -> 1.94, [48,512]
+            # 4.90 -> 3.01, [8,512] 1.08 -> 0.80; ties at b=1 and loses at
+            # t <= 256 (the nn/llama.py auto gate encodes that region)
+            auto_k = tk_p
+            auto_q = min(256, -(-tq // 128) * 128)
         else:
             auto_q, auto_k = 128, 128
         block_q = block_q or auto_q

@@ -106,6 +106,32 @@ def _flash_fwd_llama_prefill():
     return _result("flash_fwd_llama_prefill", got.astype(jnp.float32), want, tol=3e-2)
 
 
+@_check("flash_fwd_llama_prefill_1kb")
+def _flash_fwd_llama_prefill_1kb():
+    """Long-prompt prefill (t=512, d=128): hits the single-kv-block schedule
+    the r5 auto gate enables (ops/attention.py d<=128 branch) — the measured
+    1.4-1.6x win region vs XLA fused attention."""
+    from .attention import _windowed_reference_attention, flash_attention
+
+    rng = np.random.default_rng(14)
+    b, h, t, d = 8, 24, 512, 128
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    kv_lens = jnp.full((b,), t, jnp.int32)
+    kv_starts = jnp.asarray([0, 63, 0, 0, 17, 0, 0, 128], jnp.int32)
+    got = jax.jit(functools.partial(flash_attention, causal=True))(
+        q, k, v, kv_lens=kv_lens, kv_starts=kv_starts
+    )
+    want = _windowed_reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        kv_lens, kv_starts, True, 1.0 / np.sqrt(d),
+    )
+    return _result(
+        "flash_fwd_llama_prefill_1kb", got.astype(jnp.float32), want, tol=3e-2
+    )
+
+
 @_check("flash_vjp")
 def _flash_vjp():
     """Backward pass: the custom VJP recomputes on the XLA reference path, so
