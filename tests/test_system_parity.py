@@ -242,7 +242,33 @@ def _ref_ctor_patches(sr_state):
 
 
 @pytest.fixture(scope="module")
-def reference_system():
+def reference_parts():
+    """The frozen reference donors (whisper encoder, vendored AV-HuBERT, SR
+    predictor) WITHOUT the HF LLaMA / MMS_LLaMA build — enough for the NoLLM
+    and E2E variants, and cheap enough for the default test tier."""
+    import importlib
+
+    load_reference_product()
+    smm = importlib.import_module("src.sub_model.modules")
+
+    whisper_enc = _make_hf_whisper_encoder()
+    hub_model = _make_vendored_avhubert()
+
+    # SR predictor donor state: the ctor loads it via torch.load
+    # (src/model.py:138-144), so serve our randomized copy through a patch
+    donor_sr = smm.Speech_Rate_Predictor(num_layers=2).eval()
+    _randomize_(donor_sr, seed=22)
+    with torch.no_grad():
+        donor_sr.sr_predictor.bias.fill_(1.4)  # predictions land in (1, 2)
+    return {
+        "whisper_enc": whisper_enc,
+        "hub_model": hub_model,
+        "donor_sr": donor_sr,
+    }
+
+
+@pytest.fixture(scope="module")
+def reference_system(reference_parts):
     """The reference MMS_LLaMA (src/model.py:85-634) built from tiny-but-real
     parts, plus the raw components for weight export."""
     import importlib
@@ -252,18 +278,13 @@ def reference_system():
     smm = importlib.import_module("src.sub_model.modules")
     hubert_asr = importlib.import_module("avhubert.hubert_asr")
 
-    whisper_enc = _make_hf_whisper_encoder()
+    whisper_enc = reference_parts["whisper_enc"]
     whisper = smm.WhisperEncoderWrapper(whisper_enc)
-    hub_model = _make_vendored_avhubert()
+    hub_model = reference_parts["hub_model"]
     avhubert = hubert_asr.HubertEncoderWrapper(hub_model)
     hf_llama = _make_hf_llama()
 
-    # SR predictor donor state: the ctor loads it via torch.load
-    # (src/model.py:138-144), so serve our randomized copy through a patch
-    donor_sr = smm.Speech_Rate_Predictor(num_layers=2).eval()
-    _randomize_(donor_sr, seed=22)
-    with torch.no_grad():
-        donor_sr.sr_predictor.bias.fill_(1.4)  # predictions land in (1, 2)
+    donor_sr = reference_parts["donor_sr"]
     sr_state = {"model": {f"sr_predictor.{k}": v for k, v in donor_sr.state_dict().items()}}
 
     cfg = mm.MMS_LLaMA_Config(
