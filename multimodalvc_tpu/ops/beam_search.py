@@ -208,10 +208,6 @@ def beam_search(
         positions = (prompt_lengths[:, None] + step - 1).repeat(k, axis=0).reshape(-1, 1)
         # NOTE: positions follow HF generate semantics: prompt_len + step - 1
         logits, new_cache = decode_fn(flat_tokens, positions, state.cache)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
-        logp = _unflatten_beam(logp, b, k)
-        if no_repeat_ngram_size > 0:
-            logp = apply_ngram_block(logp, state.live_seqs, step, no_repeat_ngram_size)
 
         # 2K candidates so EOS picks never starve the live set (HF-style).
         # On TPU the fused Pallas kernel (ops/topk.py) avoids materialising
@@ -221,14 +217,40 @@ def beam_search(
         # top_k, then re-reduce the winners) measured ~5.7 ms/step SLOWER
         # than the single lax.top_k — the win needs VMEM residency, not
         # blocking; don't re-attempt the XLA variant.
-        if jax.default_backend() == "tpu":
-            from .topk import beam_topk
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and no_repeat_ngram_size == 0:
+            # fused serving path: the RAW [B*K, V] unembed logits plus
+            # per-row max / logsumexp scalars go straight into the Pallas
+            # top-2K, which applies ((x - max) - logS) + score in XLA's
+            # log_softmax op order — the f32 log-prob tensor is never
+            # materialised (its fused subtract: 0.37 ms/step, r5 trace).
+            from .topk import beam_topk_from_logits
 
-            top2k_scores, top2k_idx = beam_topk(logp, state.live_scores, 2 * k)
+            lf = logits.astype(jnp.float32)
+            row_max = jnp.max(lf, axis=-1, keepdims=True)
+            row_ls = jnp.log(
+                jnp.sum(jnp.exp(lf - row_max), axis=-1, keepdims=True)
+            )
+            top2k_scores, top2k_idx = beam_topk_from_logits(
+                lf, row_max, row_ls, state.live_scores, 2 * k
+            )
         else:
-            cand = state.live_scores[:, :, None] + logp  # [B, K, V]
-            flat_cand = cand.reshape(b, k * vocab)
-            top2k_scores, top2k_idx = jax.lax.top_k(flat_cand, 2 * k)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = _unflatten_beam(logp, b, k)  # [B, K, V]
+            if no_repeat_ngram_size > 0:
+                logp = apply_ngram_block(
+                    logp, state.live_seqs, step, no_repeat_ngram_size
+                )
+            if on_tpu:
+                from .topk import beam_topk
+
+                top2k_scores, top2k_idx = beam_topk(
+                    logp, state.live_scores, 2 * k
+                )
+            else:
+                cand = state.live_scores[:, :, None] + logp  # [B, K, V]
+                flat_cand = cand.reshape(b, k * vocab)
+                top2k_scores, top2k_idx = jax.lax.top_k(flat_cand, 2 * k)
         cand_beam = top2k_idx // vocab  # [B, 2K]
         cand_token = top2k_idx % vocab
 

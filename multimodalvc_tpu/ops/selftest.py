@@ -295,6 +295,38 @@ def _beam_topk():
     )
 
 
+@_check("beam_topk_from_logits")
+def _beam_topk_from_logits():
+    """Fused serving path at the production shape: RAW [B*K, V] unembed
+    logits + per-row max/logsumexp vs lax.top_k over
+    scores + log_softmax(logits) — values AND indices exact (the kernel
+    replays XLA's ((x - max) - logS) + score op order)."""
+    from .topk import beam_topk_from_logits
+
+    rng = np.random.default_rng(11)
+    b, k, v, n = 48, 5, 128256, 10
+    logits = jnp.asarray(rng.standard_normal((b * k, v)) * 3.0, jnp.float32)
+    scores = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+
+    def run(lf, sc):
+        row_max = jnp.max(lf, axis=-1, keepdims=True)
+        row_ls = jnp.log(jnp.sum(jnp.exp(lf - row_max), axis=-1, keepdims=True))
+        return beam_topk_from_logits(lf, row_max, row_ls, sc, n, interpret=False)
+
+    got_v, got_i = jax.jit(run)(logits, scores)
+    logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+    want_v, want_i = jax.lax.top_k(
+        (scores[:, :, None] + logp).reshape(b, k * v), n
+    )
+    return _worst(
+        "beam_topk_from_logits",
+        [
+            _result("beam_topk_from_logits/values", got_v, want_v, tol=1e-6),
+            _result("beam_topk_from_logits/indices", got_i, want_i, tol=0.0, exact=True),
+        ],
+    )
+
+
 @_check("beam_gather_rows")
 def _beam_gather_rows():
     """DMA row gather over a KV-cache-shaped leaf vs take_along_axis."""

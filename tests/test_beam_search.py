@@ -353,6 +353,31 @@ def test_beam_topk_matches_lax(rng):
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
 
 
+def test_beam_topk_from_logits_matches_lax(rng):
+    """Fused serving path: raw logits + per-row max/logsumexp must equal
+    lax.top_k over scores + log_softmax(logits) bit-exactly (the kernel
+    replays XLA's ((x - max) - logS) + score op order)."""
+    from multimodalvc_tpu.ops.topk import beam_topk_from_logits
+
+    b, k, v = 3, 5, 4000
+    logits = rng.standard_normal((b * k, v)).astype(np.float32) * 4.0
+    # exact in-row ties survive the per-row normalise+add: same row -> same
+    # max/logsumexp/score -> equal candidate values, index-asc order applies
+    # (cross-row ties can't stay exact through per-row normalisation)
+    logits[0 * k + 1, 7] = logits[0 * k + 1, 2900] = 30.0
+    logits[1 * k + 2, 5] = logits[1 * k + 2, 6] = 25.0
+    scores = rng.standard_normal((b, k)).astype(np.float32)
+    lf = jnp.asarray(logits)
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    cand = jnp.asarray(scores)[:, :, None] + logp.reshape(b, k, v)
+    v_ref, i_ref = jax.lax.top_k(cand.reshape(b, k * v), 10)
+    row_max = jnp.max(lf, axis=-1, keepdims=True)
+    row_ls = jnp.log(jnp.sum(jnp.exp(lf - row_max), axis=-1, keepdims=True))
+    v2, i2 = beam_topk_from_logits(lf, row_max, row_ls, jnp.asarray(scores), 10)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
+
+
 def test_beam_topk_multiblock_tie_order(rng):
     """Ties that straddle column blocks must keep lax.top_k's value-desc /
     flat-index-asc order.  V is a 128-multiple large enough for the kernel to
