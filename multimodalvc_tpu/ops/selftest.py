@@ -327,6 +327,40 @@ def _beam_topk_from_logits():
     )
 
 
+@_check("beam_topk_columns")
+def _beam_topk_columns():
+    """Column-champion top-2K at the production shape, incl. the
+    multi-winners-in-one-column case the gather+merge must cover."""
+    from .topk import beam_topk_columns
+
+    rng = np.random.default_rng(13)
+    b, k, v, n = 48, 5, 128256, 10
+    logits_np = (rng.standard_normal((b * k, v)) * 3.0).astype(np.float32)
+    logits_np[0 * k + 0, 999] = 40.0  # one column winning for 3 beam rows
+    logits_np[0 * k + 1, 999] = 39.5
+    logits_np[0 * k + 3, 999] = 39.0
+    logits = jnp.asarray(logits_np)
+    scores = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+
+    def run(lf, sc):
+        row_max = jnp.max(lf, axis=-1, keepdims=True)
+        row_ls = jnp.log(jnp.sum(jnp.exp(lf - row_max), axis=-1, keepdims=True))
+        return beam_topk_columns(lf, row_max, row_ls, sc, n, interpret=False)
+
+    got_v, got_i = jax.jit(run)(logits, scores)
+    logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+    want_v, want_i = jax.lax.top_k(
+        (scores[:, :, None] + logp).reshape(b, k * v), n
+    )
+    return _worst(
+        "beam_topk_columns",
+        [
+            _result("beam_topk_columns/values", got_v, want_v, tol=1e-6),
+            _result("beam_topk_columns/indices", got_i, want_i, tol=0.0, exact=True),
+        ],
+    )
+
+
 @_check("beam_gather_rows")
 def _beam_gather_rows():
     """DMA row gather over a KV-cache-shaped leaf vs take_along_axis."""

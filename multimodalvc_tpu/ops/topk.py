@@ -186,6 +186,120 @@ def beam_topk_from_logits(
     return _run_and_merge(logits.reshape(b, k, v), m, ls, bias, n, interpret)
 
 
+def _column_champion_kernel(
+    logits_ref,  # VMEM [1, k, 8, vq] raw logits (V folded to (8, vq) lanes)
+    m_ref,  # VMEM [1, k, 1, 1]
+    ls_ref,  # VMEM [1, k, 1, 1]
+    score_ref,  # VMEM [1, k, 1, 1]
+    flats_ref,  # VMEM [1, 1, n_pad] int32 champion flat indices
+    *,
+    n: int,
+    k: int,
+    vq: int,
+    n_pad: int,
+):
+    x = logits_ref[0].astype(jnp.float32)  # [k, 8, vq]
+    # identical op order to `scores + jax.nn.log_softmax(logits)`
+    x = ((x - m_ref[0]) - ls_ref[0]) + score_ref[0]
+    x = jnp.maximum(x, _CLAMP)
+    v = 8 * vq
+    # global column id of lane (s, l) after the [V] -> [8, vq] fold
+    colg = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, vq), 0) * vq
+        + jax.lax.broadcasted_iota(jnp.int32, (8, vq), 1)
+    )
+    # per-column champion over the k beam rows; strict > keeps the lowest
+    # row (= lowest flat index) on ties, matching lax.top_k's tie order
+    best_v = x[0]
+    best_f = colg  # row 0: flat = 0*V + col
+    for r in range(1, k):
+        xr = x[r]
+        take = xr > best_v
+        best_v = jnp.where(take, xr, best_v)
+        best_f = jnp.where(take, colg + r * v, best_f)
+    # n extraction passes with whole-COLUMN knockout: yields the top-n
+    # distinct-column champions.  The true top-n of the [k, V] block lives
+    # inside those n columns: if a rank-t-in-its-column element is in the
+    # global top-n, every lower-rank element of that column is too — in
+    # particular the column's champion — so the column is a top-n champion
+    # column.  The caller gathers all k rows of the n columns and merges.
+    big = jnp.int32(2147483647)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    flats_vec = jnp.zeros((1, n_pad), jnp.int32)
+    for j in range(n):
+        mj = jnp.max(best_v)
+        sel = jnp.min(jnp.where(best_v == mj, best_f, big))
+        flats_vec = jnp.where(lane == j, sel, flats_vec)
+        best_v = jnp.where(best_f == sel, NEG_INF, best_v)
+    flats_ref[0] = flats_vec
+
+
+def beam_topk_columns(
+    logits: jnp.ndarray,  # [B*K, V] RAW logits straight from the unembed
+    row_max: jnp.ndarray,  # [B*K] or [B*K, 1] f32 per-row max(logits)
+    row_logsumexp: jnp.ndarray,  # [B*K] or [B*K, 1] f32 log(sum(exp(x - max)))
+    scores: jnp.ndarray,  # [B, K] f32 running beam scores
+    n: int,
+    interpret=None,
+):
+    """Column-champion variant of ``beam_topk_from_logits`` — same contract
+    (values clamp-saturate at the knock-out sentinel; indices exact).
+
+    Instead of n max-extraction passes over the whole padded [K(->8), V]
+    block (r5 trace: 2.15 ms/step, ~9x the read roofline, VPU-bound), the
+    kernel folds V into the 8 sublanes ([B, K, 8, V/8] — a 123 MB dense
+    re-tiling, vs 197 MB for the 5->8 padded [B, K, V] form), reduces the
+    K beam rows to one per-column champion ([8, V/8], zero padding), and
+    runs the n extraction passes on that 5x-smaller array with whole-column
+    knockout.  The caller gathers all K rows of the n champion columns
+    (K*n values — the provable superset of the true top-n) and does an
+    exact (value desc, flat asc) merge in XLA."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, k = scores.shape
+    r, v = logits.shape
+    assert r == b * k and v % 8 == 0, (logits.shape, scores.shape)
+    vq = v // 8
+    n_pad = max(-(-n // 128) * 128, 128)
+    x4 = logits.reshape(b, k, 8, vq)
+    m = row_max.reshape(b, k, 1, 1).astype(jnp.float32)
+    ls = row_logsumexp.reshape(b, k, 1, 1).astype(jnp.float32)
+    bias = scores.reshape(b, k, 1, 1).astype(jnp.float32)
+    kernel = functools.partial(
+        _column_champion_kernel, n=n, k=k, vq=vq, n_pad=n_pad
+    )
+    flats = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, k, 8, vq), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k, 1, 1), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k, 1, 1), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k, 1, 1), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32),
+        interpret=interpret,
+    )(x4, m, ls, bias)
+    cols = flats[:, 0, :n] % v  # [B, n] champion columns (distinct per batch)
+    # gather ALL k beam rows at the champion columns and re-derive the
+    # candidate values with the same f32 op order (bit-identical to the
+    # kernel's, so selection and merge can never disagree)
+    cols_bk = jnp.broadcast_to(cols[:, None, :], (b, k, n)).reshape(r, n)
+    cand = jnp.take_along_axis(logits, cols_bk, axis=1)  # [B*K, n]
+    cand_v = (
+        (cand.astype(jnp.float32) - row_max.reshape(r, 1).astype(jnp.float32))
+        - row_logsumexp.reshape(r, 1).astype(jnp.float32)
+    ) + scores.reshape(r, 1).astype(jnp.float32)
+    cand_v = jnp.maximum(cand_v, _CLAMP)
+    row_in_batch = (jnp.arange(r, dtype=jnp.int32) % k)[:, None]
+    cand_f = row_in_batch * v + cols_bk
+    cv = cand_v.reshape(b, k * n)
+    cf = cand_f.reshape(b, k * n)
+    _, top_f, top_v = jax.lax.sort((-cv, cf, cv), dimension=1, num_keys=2)
+    return top_v[:, :n], top_f[:, :n]
+
+
 def beam_topk(
     logp: jnp.ndarray,  # [B, K, V] f32/bf16 log-probs (+ any penalties)
     scores: jnp.ndarray,  # [B, K] f32 running beam scores

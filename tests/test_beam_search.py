@@ -378,6 +378,32 @@ def test_beam_topk_from_logits_matches_lax(rng):
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
 
 
+def test_beam_topk_columns_matches_lax(rng):
+    """Column-champion variant: exact vs lax.top_k including multi-winners
+    in one column (all K beams' best token identical) and in-row ties."""
+    from multimodalvc_tpu.ops.topk import beam_topk_columns
+
+    b, k, v = 3, 5, 4096
+    logits = rng.standard_normal((b * k, v)).astype(np.float32) * 4.0
+    # one column dominating several rows of batch 1 (top-n must pull
+    # multiple winners out of a single champion column)
+    logits[1 * k + 0, 77] = 40.0
+    logits[1 * k + 2, 77] = 39.5
+    logits[1 * k + 4, 77] = 39.0
+    # in-row tie (same row, two columns)
+    logits[2 * k + 1, 5] = logits[2 * k + 1, 6] = 25.0
+    scores = rng.standard_normal((b, k)).astype(np.float32)
+    lf = jnp.asarray(logits)
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    cand = jnp.asarray(scores)[:, :, None] + logp.reshape(b, k, v)
+    v_ref, i_ref = jax.lax.top_k(cand.reshape(b, k * v), 10)
+    row_max = jnp.max(lf, axis=-1, keepdims=True)
+    row_ls = jnp.log(jnp.sum(jnp.exp(lf - row_max), axis=-1, keepdims=True))
+    v2, i2 = beam_topk_columns(lf, row_max, row_ls, jnp.asarray(scores), 10)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
+
+
 def test_beam_topk_multiblock_tie_order(rng):
     """Ties that straddle column blocks must keep lax.top_k's value-desc /
     flat-index-asc order.  V is a 128-multiple large enough for the kernel to
